@@ -1,0 +1,192 @@
+"""Flooding min-sum decoder: plain, normalized, and offset variants.
+
+Behavioral reference: ``C_implementations/src/decodeMinSum.cpp`` (one source
+compiled three ways, ``Makefile:58-65``):
+
+  * CN update (``:410-450``): per-check sign product and two smallest input
+    magnitudes; the ``<=`` comparison means the *last* minimum in slot order
+    claims the min-index (and therefore receives min2) — reproduced exactly
+    by the sequential slot scan below.
+  * ``applyNormalization`` (``:493-500``) **divides** by alpha;
+    ``applyOffset`` (``:502-516``) subtracts delta and clamps at 0.
+  * VN update (``:452-476``): total sum (channel sample + all incoming),
+    output = total − self, decision ``d = sum > 0 ? +1 : −1``.  No message
+    clamping in min-sum (only BP clamps, ``decodeBP.cpp:399-401``).
+  * The reference min-sum always runs all T iterations (``:247-263`` — no
+    syndrome test); ``early_termination=True`` is this framework's extension
+    (and the configuration used for throughput benchmarks).
+  * Min-sum operates directly on (optionally quantized/saturated) channel
+    samples, *not* LLRs — min-sum is scale-invariant, and only BP rescales by
+    4/N0 (``decodeBP.cpp:188``).
+
+The decoder is a pure function of (code, samples, config); batch rides the
+trailing axis (see :mod:`.base`).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..codes.code import Code
+from .base import (
+    DecodeResult,
+    check_satisfied,
+    gather_cn,
+    gather_vn,
+    sgn_pos,
+)
+
+__all__ = ["minsum_cn_update", "vn_update", "decode_minsum"]
+
+
+def minsum_cn_update(code: Code, v2c_flat: jax.Array) -> jax.Array:
+    """Check-node min-sum update, bit-matching decodeMinSum.cpp:410-450.
+
+    v2c_flat: [N*dv_max, B] variable→check messages (VN-slot layout).
+    Returns c2v_flat: [M*dc_max, B] (CN-slot layout); padding slots emit 0.
+    """
+    msgs = gather_cn(code, v2c_flat)  # [M, dc_max, B]
+    dtype = msgs.dtype
+    m, dc_max, b = msgs.shape
+    inf = jnp.asarray(jnp.inf, dtype)
+
+    min1 = jnp.full((m, b), inf, dtype)
+    min2 = jnp.full((m, b), inf, dtype)
+    minidx = jnp.full((m, b), -1, jnp.int32)
+    sprod = jnp.ones((m, b), dtype)
+
+    # Sequential slot scan (dc_max is small and static; unrolls fully).
+    # `<=` lets later slots steal the min index — the reference's tie-break.
+    for j in range(dc_max):
+        msg = msgs[:, j, :]
+        valid = code.cn_mask[:, j][:, None]
+        a = jnp.abs(msg)
+        sprod = jnp.where(valid, sprod * sgn_pos(msg), sprod)
+        is_min = valid & (a <= min1)
+        min2 = jnp.where(is_min, min1, jnp.where(valid & (a < min2), a, min2))
+        minidx = jnp.where(is_min, j, minidx)
+        min1 = jnp.where(is_min, a, min1)
+
+    outs = []
+    for j in range(dc_max):
+        msg = msgs[:, j, :]
+        mag = jnp.where(minidx == j, min2, min1)
+        outs.append(sprod * mag * sgn_pos(msg))
+    c2v = jnp.stack(outs, axis=1)  # [M, dc_max, B]
+    c2v = jnp.where(code.cn_mask[:, :, None], c2v, jnp.zeros_like(c2v))
+    return c2v.reshape(m * dc_max, b)
+
+
+def vn_update(
+    code: Code,
+    y_t: jax.Array,
+    c2v_flat: jax.Array,
+    clamp: Optional[float] = None,
+):
+    """Variable-node total-sum update (decodeMinSum.cpp:452-476).
+
+    y_t: [N, B] channel samples (decoder domain).  Returns
+    (v2c_flat [N*dv_max, B], total [N, B], d [N, B] ±1).
+    ``clamp`` bounds outgoing messages (used by BP, decodeBP.cpp:399-401).
+    """
+    msgs = gather_vn(code, c2v_flat)  # [N, dv_max, B]
+    msgs = jnp.where(code.vn_mask[:, :, None], msgs, jnp.zeros_like(msgs))
+    total = y_t + jnp.sum(msgs, axis=1)  # [N, B]
+    v2c = total[:, None, :] - msgs
+    if clamp is not None:
+        v2c = jnp.clip(v2c, -clamp, clamp)
+    d = jnp.where(total > 0, 1, -1).astype(jnp.int32)
+    return v2c.reshape(code.n * code.dv_max, -1), total, d
+
+
+def apply_normalization(c2v_flat: jax.Array, alpha: float) -> jax.Array:
+    """check_to_sym /= alpha (decodeMinSum.cpp:493-500 — a division)."""
+    return c2v_flat / alpha
+
+
+def apply_offset(c2v_flat: jax.Array, delta: float) -> jax.Array:
+    """|msg| -= delta, clamped at 0, sign kept (decodeMinSum.cpp:502-516)."""
+    mag = jnp.abs(c2v_flat) - delta
+    return jnp.where(mag > 0, sgn_pos(c2v_flat) * mag, jnp.zeros_like(c2v_flat))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_iterations", "variant", "early_termination"),
+)
+def decode_minsum(
+    code: Code,
+    y: jax.Array,
+    num_iterations: int,
+    variant: str = "plain",
+    alpha: float = 1.0,
+    delta: float = 0.0,
+    early_termination: bool = False,
+) -> DecodeResult:
+    """Batched flooding min-sum decode.
+
+    y: [B, N] channel samples (pre-quantized/saturated by the caller for the
+    Offset/Normalized fixed-point variants — the reference quantizes the
+    channel, not the messages: ``decodeMinSum.cpp:218-238``).
+    variant: "plain" | "normalized" | "offset".
+    """
+    if variant not in ("plain", "normalized", "offset"):
+        raise ValueError(f"unknown min-sum variant {variant!r}")
+    y_t = jnp.asarray(y).T  # [N, B]
+    b = y_t.shape[1]
+    # initializeSymMessages: every VN slot starts at the channel sample
+    # (decodeMinSum.cpp:364-370).
+    v2c0 = jnp.repeat(y_t, code.dv_max, axis=0)
+
+    def one_iteration(v2c):
+        c2v = minsum_cn_update(code, v2c)
+        if variant == "normalized":
+            c2v = apply_normalization(c2v, alpha)
+        elif variant == "offset":
+            c2v = apply_offset(c2v, delta)
+        return vn_update(code, y_t, c2v)
+
+    if not early_termination:
+        # Reference behavior: all T iterations, unconditionally.
+        def body(_, carry):
+            v2c, _d = carry
+            v2c, _total, d = one_iteration(v2c)
+            return (v2c, d)
+
+        d0 = jnp.where(y_t > 0, 1, -1).astype(jnp.int32)
+        _v2c, d = jax.lax.fori_loop(0, num_iterations, body, (v2c0, d0))
+        return DecodeResult(
+            hard=d.T,
+            iterations=jnp.full((b,), num_iterations, jnp.int32),
+            satisfied=check_satisfied(code, d),
+        )
+
+    # Early termination (framework extension): per-frame active mask inside a
+    # while loop; converged frames freeze so their reported state is the one
+    # that first satisfied all checks.
+    d0 = jnp.where(y_t > 0, 1, -1).astype(jnp.int32)
+    done0 = check_satisfied(code, d0)
+    iters0 = jnp.zeros((b,), jnp.int32)
+
+    def cond(carry):
+        t, _v2c, _d, _iters, done = carry
+        return (t < num_iterations) & ~jnp.all(done)
+
+    def body(carry):
+        t, v2c, d, iters, done = carry
+        v2c_new, _total, d_new = one_iteration(v2c)
+        act = ~done
+        v2c = jnp.where(act[None, :], v2c_new, v2c)
+        d = jnp.where(act[None, :], d_new, d)
+        iters = jnp.where(act, t + 1, iters)
+        done = done | check_satisfied(code, d)
+        return (t + 1, v2c, d, iters, done)
+
+    _t, _v2c, d, iters, done = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), v2c0, d0, iters0, done0)
+    )
+    return DecodeResult(hard=d.T, iterations=iters, satisfied=done)

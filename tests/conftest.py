@@ -2,18 +2,25 @@
 
 Multi-chip TPU hardware is not available in CI; sharding logic is validated on
 host-platform virtual devices instead (the same XLA partitioner runs either
-way).  Must be set before JAX initializes its backends.
+way).  The environment may pre-set JAX_PLATFORMS (e.g. to a TPU tunnel) and
+pre-import jax from sitecustomize, so plain env-var defaults are not enough:
+override the env *and* the live jax config before any backend initializes.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
-os.environ.setdefault("JAX_ENABLE_X64", "1")
+os.environ["JAX_ENABLE_X64"] = "1"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -1,0 +1,122 @@
+"""Pure-Python/NumPy oracle decoders, written directly from the reference
+semantics (ragged per-node loops, sequential tie-breaking) as an independent
+check on the vectorized JAX implementations.
+
+These mirror the *behavior* documented in SURVEY.md §2.2 (decodeMinSum.cpp,
+decodeBP.cpp, decodeGDBF.cpp, decodeDDBMP.cpp) — slot order, sign
+conventions, tie-breaks — using plain Python control flow.
+"""
+
+import math
+from typing import List
+
+import numpy as np
+
+from ldpcsimulation_tpu.codes.alist import Alist
+
+
+def sgn_pos(x: float) -> float:
+    return 1.0 if x >= 0 else -1.0
+
+
+def sgn_neg(x: float) -> float:
+    return 1.0 if x > 0 else -1.0
+
+
+def _slot_of(a: Alist, v: int, c: int) -> int:
+    return a.nlist[v].index(c)
+
+
+def _cslot_of(a: Alist, v: int, c: int) -> int:
+    return a.mlist[c].index(v)
+
+
+def minsum_decode(a: Alist, y, T: int, variant="plain", alpha=1.0, delta=0.0):
+    """Flooding min-sum, single frame. Returns (d, s2c, c2s) after T iters."""
+    y = list(map(float, y))
+    s2c: List[List[float]] = [[y[v]] * len(a.nlist[v]) for v in range(a.n)]
+    c2s: List[List[float]] = [[0.0] * len(a.mlist[c]) for c in range(a.m)]
+    d = [0] * a.n
+    for _ in range(T):
+        # check node update: sign product + two minima, <= tie-break
+        for c in range(a.m):
+            min1 = math.inf
+            min2 = math.inf
+            minidx = -1
+            prod = 1.0
+            for j, v in enumerate(a.mlist[c]):
+                msg = s2c[v][_slot_of(a, v, c)]
+                prod *= sgn_pos(msg)
+                if abs(msg) <= min1:
+                    min2 = min1
+                    min1 = abs(msg)
+                    minidx = j
+                elif abs(msg) < min2:
+                    min2 = abs(msg)
+            for j, v in enumerate(a.mlist[c]):
+                msg = s2c[v][_slot_of(a, v, c)]
+                mag = min2 if j == minidx else min1
+                c2s[c][j] = prod * mag * sgn_pos(msg)
+        if variant == "normalized":
+            for c in range(a.m):
+                for j in range(len(c2s[c])):
+                    c2s[c][j] /= alpha
+        elif variant == "offset":
+            for c in range(a.m):
+                for j in range(len(c2s[c])):
+                    msg = c2s[c][j]
+                    mag = abs(msg) - delta
+                    c2s[c][j] = sgn_pos(msg) * mag if mag > 0 else 0.0
+        # symbol node update
+        for v in range(a.n):
+            total = y[v]
+            for s, c in enumerate(a.nlist[v]):
+                total += c2s[c][_cslot_of(a, v, c)]
+            for s, c in enumerate(a.nlist[v]):
+                s2c[v][s] = total - c2s[c][_cslot_of(a, v, c)]
+            d[v] = 1 if total > 0 else -1
+    return d, s2c, c2s
+
+
+def bp_decode(a: Alist, llr, T: int, max_llr=20.0):
+    """Flooding sum-product (tanh form, true exclusion), single frame."""
+    llr = list(map(float, llr))
+    s2c: List[List[float]] = [[llr[v]] * len(a.nlist[v]) for v in range(a.n)]
+    c2s: List[List[float]] = [[0.0] * len(a.mlist[c]) for c in range(a.m)]
+    d = [0] * a.n
+    for _ in range(T):
+        for c in range(a.m):
+            for j in range(len(a.mlist[c])):
+                prod = 1.0
+                for k, v in enumerate(a.mlist[c]):
+                    if k != j:
+                        prod *= math.tanh(s2c[v][_slot_of(a, v, c)] / 2.0)
+                # log((1+p)/(1-p))
+                if prod >= 1.0:
+                    out = math.inf
+                elif prod <= -1.0:
+                    out = -math.inf
+                else:
+                    out = math.log((1.0 + prod) / (1.0 - prod))
+                c2s[c][j] = out
+        for v in range(a.n):
+            total = llr[v]
+            for s, c in enumerate(a.nlist[v]):
+                total += c2s[c][_cslot_of(a, v, c)]
+            for s, c in enumerate(a.nlist[v]):
+                out = total - c2s[c][_cslot_of(a, v, c)]
+                if abs(out) > max_llr:
+                    out = max_llr * sgn_pos(out)
+                s2c[v][s] = out
+            d[v] = 1 if total > 0 else -1
+    return d, s2c, c2s
+
+
+def syndrome_ok(a: Alist, d) -> bool:
+    for c in range(a.m):
+        prod = 1
+        for v in a.mlist[c]:
+            prod *= d[v]
+        if prod < 0:
+            return False
+    return True
