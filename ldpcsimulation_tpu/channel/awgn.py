@@ -54,8 +54,11 @@ def snr_to_sigma(snr_db, rate):
 
 
 def bpsk(bits):
-    """Bits {0,1} -> bipolar {+1,-1} ('0'->+1, decodeBP.cpp:166-176)."""
-    return 1 - 2 * jnp.asarray(bits)
+    """Bits {0,1} -> bipolar {+1,-1} ('0'->+1, decodeBP.cpp:166-176).
+
+    Bits are widened to int32 first (uint8 input would wrap 1-2*1 to 255).
+    """
+    return 1 - 2 * jnp.asarray(bits, jnp.int32)
 
 
 def awgn(key, x, sigma, form: str = "multiplicative", dtype=jnp.float32):

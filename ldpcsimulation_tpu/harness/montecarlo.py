@@ -1,0 +1,239 @@
+"""Batched Monte-Carlo BER/FER test harness.
+
+This is the TPU-native re-expression of the per-frame ``main()`` loop every
+reference simulator carries (e.g. ``C_implementations/src/decodeBP.cpp:56-277``):
+frame generation, AWGN, decode, error counting, adaptive stopping, statistics,
+incremental console reports.  Differences by design (SURVEY §7):
+
+  * Frames are simulated in device-sized batches; the stopping rule
+    (``errors >= min_bit_errors AND word_errors >= min_word_errors``,
+    ``decodeGDBF.cpp:221-226`` / ``decodeMinSum.cpp:189``) is evaluated
+    *between batches* — statistically identical confidence, device-friendly.
+  * Per-frame RNG is a counter-based pure function of (seed, frame index):
+    any frame is replayable by construction, replacing the reference's GSL
+    RNG state snapshots (``newstat.cpp:783-791``).
+  * Codeword fixtures are cycled by index (reference rewinds the file on
+    EOF, ``decodeBP.cpp:154-162``); the all-zero fallback matches
+    ``decodeBP.cpp:100-101``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..channel.awgn import awgn, bpsk, snr_to_n0
+from ..codes.code import Code
+from ..decoders.base import DecodeResult
+
+__all__ = [
+    "StopRule",
+    "default_min_word_errors",
+    "MCStats",
+    "simulate",
+]
+
+
+def default_min_word_errors(n: int) -> int:
+    """N-dependent schedule from decodeGDBF.cpp:221-226: 20 / 10 / 5."""
+    if n > 50000:
+        return 5
+    if n > 10000:
+        return 10
+    return 20
+
+
+@dataclasses.dataclass
+class StopRule:
+    """Run until (errors >= min_bit_errors AND word_errors >= min_word_errors)
+    or total frames reach ``max_frames`` (if set).
+
+    Reference defaults: 200/20(N-scheduled) for GDBF (``decodeGDBF.cpp:226``),
+    200/40 for min-sum & DDBMP (``decodeMinSum.cpp:189``), 200/20 for BP
+    (``decodeBP.cpp:145-150``); NGDBFhw runs a fixed frame count
+    (``NGDBFhw.cpp:193``) — use ``StopRule.fixed_frames(nf)``.
+    """
+
+    min_bit_errors: int = 200
+    min_word_errors: int = 20
+    max_frames: Optional[int] = None
+
+    @classmethod
+    def fixed_frames(cls, nf: int) -> "StopRule":
+        return cls(min_bit_errors=0, min_word_errors=0, max_frames=nf)
+
+    def done(self, errors: int, word_errors: int, total_words: int) -> bool:
+        if self.max_frames is not None and total_words >= self.max_frames:
+            return True
+        if self.min_bit_errors == 0 and self.min_word_errors == 0:
+            # fixed-frame-count mode (NGDBFhw): only max_frames stops the run
+            return False
+        return (
+            errors >= self.min_bit_errors
+            and word_errors >= self.min_word_errors
+        )
+
+
+@dataclasses.dataclass
+class MCStats:
+    """Accumulated statistics, mirroring the reference's counters
+    (``decodeMinSum.cpp:165-176``)."""
+
+    n: int
+    errors: int = 0
+    uncoded_errors: int = 0
+    total_bits: int = 0
+    total_words: int = 0
+    word_errors: int = 0
+    total_iterations: int = 0
+    error_weight_hist: Optional[np.ndarray] = None  # [N] counts, weight w at [w-1]
+    iteration_hist: Optional[np.ndarray] = None  # counts by iterations used
+    satisfied_words: int = 0
+    wall_seconds: float = 0.0
+    extra: dict = dataclasses.field(default_factory=dict)
+
+    def __post_init__(self):
+        if self.error_weight_hist is None:
+            self.error_weight_hist = np.zeros(self.n, dtype=np.int64)
+
+    @property
+    def ber(self) -> float:
+        return self.errors / self.total_bits if self.total_bits else 0.0
+
+    @property
+    def fer(self) -> float:
+        return self.word_errors / self.total_words if self.total_words else 0.0
+
+    @property
+    def uncoded_ber(self) -> float:
+        return self.uncoded_errors / self.total_bits if self.total_bits else 0.0
+
+    @property
+    def avg_iterations(self) -> float:
+        return (
+            self.total_iterations / self.total_words if self.total_words else 0.0
+        )
+
+    def incremental_report(self) -> str:
+        """Reference-style console line (decodeMinSum.cpp:291-297)."""
+        lines = [
+            f"Incremental result: {self.errors} bit errs in {self.total_words}"
+            f" words, BER={self.ber:.6g}. Average iterations = "
+            f"{self.avg_iterations:.6g}. Word error={self.word_errors}."
+            f" Uncoded errors = {self.uncoded_errors},"
+            f" uncBER={self.uncoded_ber:.6g}",
+            "Error weights:",
+        ]
+        for w in np.flatnonzero(self.error_weight_hist):
+            lines.append(f"{w + 1}:\t{self.error_weight_hist[w]}")
+        return "\n".join(lines)
+
+
+def simulate(
+    code: Code,
+    decode_fn: Callable[[jax.Array, jax.Array], DecodeResult],
+    snr_db: float,
+    rate: Optional[float] = None,
+    stop: Optional[StopRule] = None,
+    batch_size: int = 512,
+    seed: int = 0,
+    preprocess: Optional[Callable[[jax.Array], jax.Array]] = None,
+    codewords: Optional[np.ndarray] = None,
+    awgn_form: str = "multiplicative",
+    dtype=jnp.float32,
+    verbose: bool = False,
+    report_every_batches: int = 1,
+    max_batches: int = 100000,
+) -> MCStats:
+    """Run the Monte-Carlo loop for one operating point.
+
+    decode_fn(samples_or_llr [B, N], key) -> DecodeResult.  ``preprocess``
+    maps raw channel samples to decoder input (quantizer and/or LLR);
+    identity if None.  ``codewords``: optional [L, N] bit matrix cycled
+    frame-by-frame (the ``data.enc`` fixture), else all-zero codewords.
+    ``rate`` defaults to the code's design rate k/n (the reference requires
+    it on every command line).
+    """
+    rate = code.rate if rate is None else rate
+    stop = stop or StopRule(min_word_errors=default_min_word_errors(code.n))
+    n0 = float(snr_to_n0(snr_db, rate))
+    sigma = float(np.sqrt(n0 / 2.0))
+    root = jax.random.key(seed)
+
+    if codewords is not None:
+        codewords = np.asarray(codewords, np.uint8)
+        if codewords.ndim != 2 or codewords.shape[1] != code.n:
+            raise ValueError(f"codewords must be [L, {code.n}]")
+
+    @jax.jit
+    def batch_step(key, bits):
+        kch, kdec = jax.random.split(key)
+        x = bpsk(bits).astype(dtype)  # [B, N] bipolar
+        y = awgn(kch, x, sigma, form=awgn_form, dtype=dtype)
+        r = jnp.where(y > 0, 1, -1).astype(jnp.int32)
+        c = x.astype(jnp.int32)
+        inp = preprocess(y) if preprocess is not None else y
+        res = decode_fn(inp, kdec)
+        frame_errs = jnp.sum(res.hard != c, axis=1).astype(jnp.int32)
+        uncoded = jnp.sum(r != c, axis=1).astype(jnp.int32)
+        return frame_errs, uncoded, res.iterations, res.satisfied
+
+    stats = MCStats(n=code.n)
+    t0 = time.perf_counter()
+    batch_idx = 0
+    frame_offset = 0
+    while not stop.done(stats.errors, stats.word_errors, stats.total_words):
+        if batch_idx >= max_batches:
+            break
+        b = batch_size
+        if stop.max_frames is not None:
+            b = min(b, stop.max_frames - stats.total_words)
+            if b <= 0:
+                break
+        if codewords is not None:
+            idx = (frame_offset + np.arange(b)) % codewords.shape[0]
+            bits = jnp.asarray(codewords[idx])
+        else:
+            bits = jnp.zeros((b, code.n), jnp.uint8)
+        key = jax.random.fold_in(root, batch_idx)
+        frame_errs, uncoded, iters, satisfied = jax.device_get(
+            batch_step(key, bits)
+        )
+
+        stats.total_words += b
+        stats.total_bits += b * code.n
+        stats.errors += int(frame_errs.sum())
+        stats.uncoded_errors += int(uncoded.sum())
+        stats.word_errors += int((frame_errs > 0).sum())
+        stats.total_iterations += int(iters.sum())
+        stats.satisfied_words += int(satisfied.sum())
+        werr = frame_errs[frame_errs > 0]
+        if werr.size:
+            np.add.at(stats.error_weight_hist, werr - 1, 1)
+        if stats.iteration_hist is None:
+            stats.iteration_hist = np.zeros(int(iters.max()) + 1, np.int64)
+        elif int(iters.max()) >= stats.iteration_hist.size:
+            grown = np.zeros(int(iters.max()) + 1, np.int64)
+            grown[: stats.iteration_hist.size] = stats.iteration_hist
+            stats.iteration_hist = grown
+        np.add.at(stats.iteration_hist, iters, 1)
+
+        batch_idx += 1
+        frame_offset += b
+        if verbose and batch_idx % report_every_batches == 0:
+            print(stats.incremental_report())
+
+    stats.wall_seconds = time.perf_counter() - t0
+    if verbose:
+        print(
+            f"Final result: {stats.errors} bit errs in {stats.total_words} "
+            f"words, BER={stats.ber:.6g}. Average iterations = "
+            f"{stats.avg_iterations:.6g}. Uncoded errors = "
+            f"{stats.uncoded_errors}, uncBER={stats.uncoded_ber:.6g}"
+        )
+    return stats
