@@ -120,3 +120,106 @@ def syndrome_ok(a: Alist, d) -> bool:
         if prod < 0:
             return False
     return True
+
+
+def gdbf_decode(
+    a: Alist,
+    yq,
+    sigma: float,
+    T: int,
+    theta: float,
+    sequential=False,
+    mode_switching=False,
+    t_switch=0,
+    add_noise=False,
+    noise_scale=1.0,
+    threshold_adaptation=False,
+    lam=0.991,
+    weight_syndromes=False,
+    alpha=2.25,
+    output_smoothing=False,
+    window_size=64,
+    max_phases=1,
+    perturbations=None,
+):
+    """GDBF family, single frame, mirroring decodeGDBF.cpp / RNGDBF.cpp.
+
+    perturbations: [max_phases*T][N] pre-drawn noise (index = phase*T + it).
+    Returns dict(d, iterations, satisfied, phases, smoothing_used).
+    """
+    n, m = a.n, a.m
+    yq = list(map(float, yq))
+    r = [1 if v > 0 else -1 for v in yq]
+    w = alpha if weight_syndromes else 1.0
+    total_iterations = 0
+    smoothing_used = 0
+    satisfied = False
+    phases_attempted = 0
+    d = list(r)
+    for phase in range(max_phases):
+        d = list(r)
+        dsum = [0] * n
+        thetas = [theta] * n
+        mu = 0 if sequential else 1
+        it = 0
+        while it < T:
+            syn = []
+            satisfied = True
+            for c in range(m):
+                prod = 1
+                for v in a.mlist[c]:
+                    prod *= d[v]
+                if prod < 0:
+                    satisfied = False
+                syn.append(prod)
+            if satisfied:
+                break
+            if mode_switching and it > t_switch:
+                f1 = sum(d[i] * yq[i] for i in range(n)) + sum(syn)
+            if add_noise:
+                pert = perturbations[phase * T + it]
+            else:
+                pert = [0.0] * n
+            emin = math.inf
+            mindx = -1
+            for i in range(n):
+                flip = False
+                e = d[i] * yq[i] + pert[i]
+                for c in a.nlist[i]:
+                    e += w * syn[c]
+                if mu == 1 and e < thetas[i]:
+                    flip = True
+                    d[i] = -d[i]
+                if mu == 0 and e < emin:
+                    flip = True
+                    emin = e
+                    mindx = i
+                if threshold_adaptation and not flip:
+                    thetas[i] *= lam
+            if mu == 0 and mindx >= 0:
+                d[mindx] = -d[mindx]
+            if mode_switching and it > t_switch:
+                f2 = sum(d[i] * yq[i] for i in range(n)) + sum(syn)
+                if f1 >= f2:
+                    mu = 0
+            if output_smoothing and it > T - window_size:
+                for i in range(n):
+                    dsum[i] += d[i]
+            it += 1
+        if output_smoothing:
+            if not satisfied:
+                for i in range(n):
+                    d[i] = 1 if dsum[i] > 0 else -1
+            if it > T - window_size:
+                smoothing_used += 1
+        total_iterations += it
+        phases_attempted = phase + 1
+        if satisfied:
+            break
+    return dict(
+        d=d,
+        iterations=total_iterations,
+        satisfied=satisfied,
+        phases=phases_attempted,
+        smoothing_used=smoothing_used,
+    )
