@@ -223,3 +223,134 @@ def gdbf_decode(
         phases=phases_attempted,
         smoothing_used=smoothing_used,
     )
+
+
+def ddbmp_decode(a: Alist, yq, T: int):
+    """DD-BMP single frame (decodeDDBMP.cpp semantics).
+
+    Returns dict(d, iterations, satisfied).
+    """
+    n, m = a.n, a.m
+    yq = list(map(float, yq))
+    s2c = [[sgn_pos(yq[v])] * len(a.nlist[v]) for v in range(n)]
+    mem = [[yq[v]] * len(a.nlist[v]) for v in range(n)]
+    c2s = [[0.0] * len(a.mlist[c]) for c in range(m)]
+    d = [1 if v > 0 else -1 for v in yq]
+    it = 0
+    satisfied = False
+    while it < T:
+        # CN: sign product excluding self
+        for c in range(m):
+            prod = 1.0
+            for v in a.mlist[c]:
+                prod *= sgn_pos(s2c[v][_slot_of(a, v, c)])
+            for j, v in enumerate(a.mlist[c]):
+                c2s[c][j] = prod * sgn_pos(s2c[v][_slot_of(a, v, c)])
+        # VN
+        for v in range(n):
+            total = yq[v]
+            for c in a.nlist[v]:
+                total += c2s[c][_cslot_of(a, v, c)]
+            dsum = sgn_pos(yq[v])
+            for s, c in enumerate(a.nlist[v]):
+                msg = c2s[c][_cslot_of(a, v, c)]
+                mem[v][s] += total - msg
+                s2c[v][s] = sgn_pos(mem[v][s])
+                dsum += s2c[v][s]
+            d[v] = 1 if dsum > 0 else -1
+        # stop check AFTER updates; break with current it
+        satisfied = syndrome_ok(a, d)
+        if satisfied:
+            break
+        it += 1
+    return dict(d=d, iterations=it, satisfied=satisfied)
+
+
+def ngdbf_hw_decode(
+    a: Alist,
+    y,
+    sigma: float,
+    ring_noise,
+    T: int = 600,
+    w: float = 0.185,
+    ymax: float = 1.625,
+    theta0: float = -0.525,
+    nq: int = 5,
+    max_phases: int = 1,
+    true_bits=None,
+    qpointer0: int = 0,
+):
+    """Fixed-point NGDBF single frame (NGDBFhw.cpp semantics).
+
+    ring_noise: raw sigma'*n draws, length ring_len.  Returns dict with
+    best-phase d (bits), least_iterations, least_errors, satisfied.
+    """
+    n, m = a.n, a.m
+    lmax = ymax / (2.0 * w)
+    nl = 2 ** nq - 1
+
+    def quant_int(x):
+        mag = math.floor(abs(x) * nl / (2.0 * lmax))
+        sign = 1 if x > 0 else -1
+        return sign * (2 * mag + 1)
+
+    theta = quant_int(2.0)  # unpack(pack(quantize(2), +1)); positive input
+    smult = math.floor(nl / lmax + 0.5)
+
+    y = [float(v) for v in y]
+    yc = [v * (ymax / abs(v)) if abs(v) > ymax else v for v in y]
+    r = [1 if v > 0 else -1 for v in yc]
+    d_init = [(1 - v) // 2 for v in r]
+    yint = [quant_int(v / (2.0 * w)) for v in yc]
+    qint = []
+    for q in ring_noise:
+        qm = (float(q) - theta0) / (2.0 * w) - 1.0
+        qm = max(-lmax, min(lmax, qm))
+        qint.append(quant_int(qm))
+    ring_mod = len(ring_noise) - n
+    c = list(true_bits) if true_bits is not None else [0] * n
+
+    qptr = qpointer0
+    least_iters = T
+    least_errs = n
+    best_d = list(d_init)
+    satisfied = False
+    for _phase in range(max_phases):
+        d = list(d_init)
+        it = 0
+        satisfied = False
+        while it < T:
+            syn = []
+            satisfied = True
+            for ci in range(m):
+                prod = 1
+                for v in a.mlist[ci]:
+                    prod *= 1 - 2 * d[v]
+                if prod < 0:
+                    satisfied = False
+                syn.append((1 - prod) // 2)
+            if satisfied:
+                break
+            for i in range(n):
+                ssum = 0
+                for ci in a.nlist[i]:
+                    ssum += 1 - syn[ci]
+                e = (1 - 2 * d[i]) * yint[i] + ssum * smult + qint[i + qptr]
+                if e <= theta:
+                    d[i] = 1 - d[i]
+            qptr += 1
+            if qptr >= ring_mod:
+                qptr = 0
+            it += 1
+        errs = sum(1 for i in range(n) if d[i] != c[i])
+        if errs < least_errs:
+            least_errs = errs
+            best_d = list(d)
+        if it < least_iters:
+            least_iters = it
+    return dict(
+        d=best_d,
+        iterations=least_iters,
+        least_errors=least_errs,
+        satisfied=satisfied,
+    )
