@@ -1,0 +1,178 @@
+"""Device-mesh Monte-Carlo parallelism.
+
+The reference's entire parallelism story is bash `nohup … &` fan-out: one OS
+process per (SNR × parameter) operating point with time-seeded RNGs, merged
+by appending to shared log files (SURVEY §2.6;
+``C_implementations/scripts/bp_example_PEGReg504x1008.sh:24-28``).  The
+TPU-native replacement is a 2-D device mesh:
+
+  * axis ``"snr"`` — the operating-point grid (the bash loop variable),
+  * axis ``"data"`` — the Monte-Carlo frame batch,
+
+with per-device RNG streams derived by folding the device's mesh coordinates
+into the root key (replacing time-seeded processes), and error counters
+reduced with ``jax.lax.psum`` over ICI (replacing log-file merging).  The
+stop rule is evaluated on the psum-reduced counters — one decision for all
+devices, replacing each process's local while-loop test.
+
+Multi-host: call :func:`init_distributed` first (wraps
+``jax.distributed.initialize``); the same mesh code then spans all hosts'
+devices and the psums ride ICI/DCN.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..channel.awgn import awgn, bpsk
+from ..codes.code import Code
+
+__all__ = [
+    "init_distributed",
+    "make_mesh",
+    "make_counters_step",
+    "BatchCounters",
+]
+
+
+def init_distributed(**kwargs) -> None:
+    """Initialize multi-host JAX (no-op if single-process)."""
+    if jax.process_count() > 1 or kwargs:
+        return
+    try:
+        jax.distributed.initialize(**kwargs)
+    except Exception:
+        pass  # already initialized or single-host
+
+
+def make_mesh(
+    n_snr: int = 1, devices: Optional[Sequence] = None
+) -> Mesh:
+    """2-D ("snr", "data") mesh over the available devices.
+
+    n_snr must divide the device count; the remaining factor becomes the
+    data axis.  n_snr=1 gives pure Monte-Carlo batch parallelism.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    nd = len(devices)
+    if nd % n_snr:
+        raise ValueError(f"{nd} devices not divisible by n_snr={n_snr}")
+    arr = np.array(devices).reshape(n_snr, nd // n_snr)
+    return Mesh(arr, axis_names=("snr", "data"))
+
+
+# A counters dict (one distributed step's output) has keys: errors,
+# uncoded_errors, word_errors, words, bits, iteration_sum, satisfied_words —
+# each [n_snr] int32 — plus error_weight_hist [n_snr, N+1] and
+# iteration_hist [n_snr, T+1].
+BatchCounters = dict
+
+
+def make_counters_step(
+    code: Code,
+    decode_fn: Callable,
+    mesh: Mesh,
+    sigmas: Sequence[float],
+    batch_per_device: int,
+    max_iterations: int,
+    preprocess: Optional[Callable] = None,
+    awgn_form: str = "multiplicative",
+    dtype=jnp.float32,
+):
+    """Build the jitted distributed Monte-Carlo step.
+
+    decode_fn(samples [b, N], sigma_scalar, key) -> DecodeResult-like with
+    .hard [b, N], .iterations [b], .satisfied [b].
+
+    Returns step(root_key [uint32 key], bits [S, B_global, N]) ->
+    BatchCounters, where S = len(sigmas) must equal the mesh "snr" axis size
+    and B_global = batch_per_device * mesh.data_size.
+
+    All statistics are reduced on-device (histograms included) via psum over
+    the "data" axis, so the host traffic per step is O(N) regardless of
+    batch — multi-host friendly.
+    """
+    n_snr = mesh.shape["snr"]
+    n_data = mesh.shape["data"]
+    if len(sigmas) != n_snr:
+        raise ValueError(f"need {n_snr} sigmas for the snr axis")
+    sigmas_arr = jnp.asarray(list(sigmas), dtype)
+    n = code.n
+
+    def local_step(root_key, bits, sigma):
+        """Runs per device on its [1, b, N] slice of frames."""
+        bits = bits[0]  # drop the sharded-to-singleton snr axis
+        # per-device RNG stream: fold mesh coordinates into the root key
+        si = jax.lax.axis_index("snr")
+        di = jax.lax.axis_index("data")
+        key = jax.random.fold_in(jax.random.fold_in(root_key, si), di)
+        kch, kdec = jax.random.split(key)
+        sigma = sigma.reshape(())
+        x = bpsk(bits).astype(dtype)
+        y = awgn(kch, x, sigma, form=awgn_form, dtype=dtype)
+        r = jnp.where(y > 0, 1, -1).astype(jnp.int32)
+        c = x.astype(jnp.int32)
+        inp = preprocess(y) if preprocess is not None else y
+        res = decode_fn(inp, sigma, kdec)
+        frame_errs = jnp.sum(res.hard != c, axis=1).astype(jnp.int32)
+        uncoded = jnp.sum(r != c, axis=1).astype(jnp.int32)
+        b = bits.shape[0]
+        counters = dict(
+            errors=jnp.sum(frame_errs),
+            uncoded_errors=jnp.sum(uncoded),
+            word_errors=jnp.sum(frame_errs > 0),
+            words=jnp.int32(b),
+            bits=jnp.int32(b * n),
+            iteration_sum=jnp.sum(res.iterations.astype(jnp.int32)),
+            satisfied_words=jnp.sum(res.satisfied.astype(jnp.int32)),
+            error_weight_hist=jnp.sum(
+                jax.nn.one_hot(frame_errs, n + 1, dtype=jnp.int32), axis=0
+            ),
+            iteration_hist=jnp.sum(
+                jax.nn.one_hot(
+                    res.iterations, max_iterations + 1, dtype=jnp.int32
+                ),
+                axis=0,
+            ),
+        )
+        # reduce over the Monte-Carlo data axis (ICI collective), then add a
+        # leading singleton that shard_map stacks along the snr axis
+        counters = jax.tree.map(
+            lambda t: jax.lax.psum(t, axis_name="data")[None], counters
+        )
+        return counters
+
+    out_specs = dict(
+        errors=P("snr"),
+        uncoded_errors=P("snr"),
+        word_errors=P("snr"),
+        words=P("snr"),
+        bits=P("snr"),
+        iteration_sum=P("snr"),
+        satisfied_words=P("snr"),
+        error_weight_hist=P("snr", None),
+        iteration_hist=P("snr", None),
+    )
+
+    @jax.jit
+    def step(root_key, bits):
+        out = jax.shard_map(
+            local_step,
+            mesh=mesh,
+            in_specs=(P(), P("snr", "data"), P("snr")),
+            out_specs=out_specs,
+            # decoder while_loops carry mesh-constant inits that become
+            # varying after the first masked update; skip the vma check
+            check_vma=False,
+        )(root_key, bits, sigmas_arr)
+        return out
+
+    step.batch_global = batch_per_device * n_data
+    step.n_snr = n_snr
+    return step
