@@ -32,18 +32,23 @@ def main() -> int:
     args = p.parse_args()
 
     from ldpcsimulation_tpu.channel.awgn import awgn, snr_to_sigma
-    from ldpcsimulation_tpu.codes.library import load_named_code
-    from ldpcsimulation_tpu.decoders.minsum import decode_minsum
+    from ldpcsimulation_tpu.codes.library import load_named_qc
+    from ldpcsimulation_tpu.decoders.minsum_qc import decode_minsum_qc
 
-    code = load_named_code("peg_1008_504")
-    k = code.k  # 504 info bits per frame
-    sigma = float(snr_to_sigma(args.snr_db, code.rate))
+    # QC (1008,504) + gather-free decoder with f16 message storage / f32
+    # arithmetic: BER statistically identical to full-f32 (see
+    # decoders/minsum_qc.py), ~2.4x the generic gather-based path.
+    qc = load_named_qc("qc_1008_504")
+    k = qc.n - qc.m  # 504 info bits per frame
+    sigma = float(snr_to_sigma(args.snr_db, k / qc.n))
     b = args.batch
 
     @jax.jit
     def step(key):
-        y = awgn(key, jnp.ones((b, code.n), jnp.float32), sigma)
-        res = decode_minsum(code, y, num_iterations=args.iterations)
+        y = awgn(key, jnp.ones((b, qc.n), jnp.float32), sigma)
+        res = decode_minsum_qc(
+            qc, y, num_iterations=args.iterations, storage_dtype=jnp.float16
+        )
         # force the full decode: per-frame error counts vs the all-zero cw
         return jnp.sum(res.hard != 1, axis=1)
 

@@ -1,0 +1,143 @@
+"""Quasi-cyclic code structure: the gather-free fast path.
+
+A QC-LDPC parity-check matrix is an (Mb × Nb) base matrix of z×z blocks,
+each block either zero or a cyclic shift of the identity.  For such codes
+the VN↔CN edge permutation decomposes into *per-block cyclic rotations with
+compile-time-constant offsets*: messages stored as [block, z, B] planes move
+between VN-grouping and CN-grouping with static rolls — no dynamic gathers.
+On TPU, an arbitrary-row gather runs at a small fraction of memory bandwidth
+(measured ~256 GB/s effective on v5e for the (1008,504) edge arrays), while
+static rolls compile to plain vector copies; QC structure is therefore the
+difference between gather-bound and compute-bound decoding.
+
+The slot orders used here (base-edges sorted by base-row within a column,
+by base-column within a row) coincide exactly with the alist file order of
+the expanded matrix (``qc_expand`` emits sorted adjacency), so QC decoders
+are bit-identical to the generic slot-array decoders on the same H — the
+equivalence is asserted in tests.
+
+The reference has no QC machinery (its codes are stored as flat alists, and
+802.3an/802.11n/DVB-S2 are QC or RS-structured codes it treats as
+unstructured); this module is TPU-native design, not a port.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Tuple
+
+import jax
+import numpy as np
+
+from .alist import Alist
+from .code import Code, build_code
+from .construct import peg, qc_expand
+
+__all__ = ["QCCode", "build_qc_code", "qc_peg", "find_girth6_shifts"]
+
+
+@dataclasses.dataclass(frozen=True)
+class QCCode:
+    """QC structure companion to :class:`Code` (same H, block view).
+
+    base: [Mb, Nb] int shift matrix (−1 = zero block), kept as a hashable
+    tuple-of-tuples so the whole object is a static jit argument.
+    vn_blocks[bj] = ((bi, shift), ...) sorted by bi (column slot order);
+    cn_blocks[bi] = ((bj, shift), ...) sorted by bj (row slot order).
+    """
+
+    z: int
+    mb: int
+    nb: int
+    base: Tuple[Tuple[int, ...], ...]
+    vn_blocks: Tuple[Tuple[Tuple[int, int], ...], ...]
+    cn_blocks: Tuple[Tuple[Tuple[int, int], ...], ...]
+
+    @property
+    def n(self) -> int:
+        return self.nb * self.z
+
+    @property
+    def m(self) -> int:
+        return self.mb * self.z
+
+    @property
+    def dv_max(self) -> int:
+        return max(len(b) for b in self.vn_blocks)
+
+    @property
+    def dc_max(self) -> int:
+        return max(len(b) for b in self.cn_blocks)
+
+    def to_code(self) -> Code:
+        """Expanded generic slot-array Code (same H, same slot order)."""
+        return build_code(self.to_alist())
+
+    def to_alist(self) -> Alist:
+        return qc_expand(np.array(self.base), self.z)
+
+
+def build_qc_code(base: np.ndarray, z: int) -> QCCode:
+    base = np.asarray(base, np.int64)
+    mb, nb = base.shape
+    vn_blocks: List[Tuple[Tuple[int, int], ...]] = []
+    for bj in range(nb):
+        rows = [(int(bi), int(base[bi, bj]) % z) for bi in range(mb) if base[bi, bj] >= 0]
+        vn_blocks.append(tuple(rows))
+    cn_blocks: List[Tuple[Tuple[int, int], ...]] = []
+    for bi in range(mb):
+        cols = [(int(bj), int(base[bi, bj]) % z) for bj in range(nb) if base[bi, bj] >= 0]
+        cn_blocks.append(tuple(cols))
+    return QCCode(
+        z=z,
+        mb=mb,
+        nb=nb,
+        base=tuple(tuple(int(v) for v in row) for row in base),
+        vn_blocks=tuple(vn_blocks),
+        cn_blocks=tuple(cn_blocks),
+    )
+
+
+def _base_cycles4_ok(base: np.ndarray, z: int) -> bool:
+    """No 4-cycles: for every pair of columns sharing two base rows,
+    (s[r1,c1] − s[r1,c2] + s[r2,c2] − s[r2,c1]) ≠ 0 (mod z)."""
+    mb, nb = base.shape
+    for c1 in range(nb):
+        for c2 in range(c1 + 1, nb):
+            rows = [
+                r for r in range(mb) if base[r, c1] >= 0 and base[r, c2] >= 0
+            ]
+            for i in range(len(rows)):
+                for j in range(i + 1, len(rows)):
+                    r1, r2 = rows[i], rows[j]
+                    d = (
+                        base[r1, c1] - base[r1, c2] + base[r2, c2] - base[r2, c1]
+                    ) % z
+                    if d == 0:
+                        return False
+    return True
+
+
+def find_girth6_shifts(
+    base_mask: np.ndarray, z: int, seed: int = 0, tries: int = 2000
+) -> np.ndarray:
+    """Assign random circulant shifts to a 0/1 base-graph mask until the
+    expanded graph has girth ≥ 6 (no 4-cycles)."""
+    rng = np.random.default_rng(seed)
+    mb, nb = base_mask.shape
+    for _ in range(tries):
+        base = np.where(base_mask > 0, rng.integers(0, z, (mb, nb)), -1)
+        if _base_cycles4_ok(base, z):
+            return base
+    raise RuntimeError("no girth-6 shift assignment found; increase z/tries")
+
+
+def qc_peg(
+    nb: int, mb: int, dv: int, z: int, seed: int = 0
+) -> QCCode:
+    """QC code: PEG base graph (girth-optimized protograph) + random
+    girth-6 circulant shifts.  (nb*z, mb*z) code, dv-regular."""
+    base_alist = peg(nb, mb, dv, seed=seed)
+    mask = base_alist.to_dense()
+    base = find_girth6_shifts(mask, z, seed=seed)
+    return build_qc_code(base, z)

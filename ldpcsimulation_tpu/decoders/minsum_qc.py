@@ -1,0 +1,203 @@
+"""Gather-free min-sum decoder for quasi-cyclic codes.
+
+Same arithmetic, slot order, and tie-breaking as :mod:`.minsum` (bit-exact
+equivalence is tested), but the VN↔CN permutation is done with per-block
+cyclic rolls whose offsets are compile-time constants (see
+:mod:`..codes.qc`).  XLA lowers a static-shift roll to two contiguous
+copies, so the decoder contains no dynamic gathers at all — on TPU v5e this
+moves min-sum from gather-bound (~0.84 ms per iteration at B=8192 on the
+(1008,504) code) to VPU-bound.
+
+Message layout: ``v2c[Nb, dv_max, z, B]`` — base-column planes of z×B
+circulant rows, batch in lanes.  Invalid (irregular) slots hold zeros and
+are statically skipped: QC blocks are all-or-nothing, so no per-row masking
+is needed anywhere.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..codes.qc import QCCode
+from .base import DecodeResult, sgn_pos
+
+__all__ = ["decode_minsum_qc", "qc_check_satisfied"]
+
+
+def _vn_slot_index(qc: QCCode):
+    """For each (bi, t) CN slot, the (bj, s, shift) of its VN-side slot."""
+    table = []
+    for bi in range(qc.mb):
+        row = []
+        for bj, shift in qc.cn_blocks[bi]:
+            s = next(
+                i for i, (b, _) in enumerate(qc.vn_blocks[bj]) if b == bi
+            )
+            row.append((bj, s, shift))
+        table.append(row)
+    return table
+
+
+def qc_cn_minsum(qc: QCCode, v2c, variant="plain", alpha=1.0, delta=0.0):
+    """CN update + variant post-op, returning c2v in VN layout.
+
+    v2c: [Nb, dv_max, z, B] -> c2v_vn: [Nb, dv_max, z, B].
+    Identical scan semantics to minsum_cn_update (<= last-min-wins).
+    """
+    z = qc.z
+    dtype = v2c.dtype
+    b = v2c.shape[-1]
+    table = _vn_slot_index(qc)
+    inf = jnp.asarray(jnp.inf, dtype)
+
+    c2v_slots = [
+        [None] * len(qc.vn_blocks[bj]) for bj in range(qc.nb)
+    ]
+    for bi in range(qc.mb):
+        # CN-row-space views of incoming messages (static rolls)
+        views = [
+            jnp.roll(v2c[bj, s], -shift, axis=0)
+            for (bj, s, shift) in table[bi]
+        ]
+        min1 = jnp.full((z, b), inf, dtype)
+        min2 = jnp.full((z, b), inf, dtype)
+        minidx = jnp.full((z, b), -1, jnp.int32)
+        sprod = jnp.ones((z, b), dtype)
+        for t, msg in enumerate(views):
+            a = jnp.abs(msg)
+            sprod = sprod * sgn_pos(msg)
+            is_min = a <= min1
+            min2 = jnp.where(is_min, min1, jnp.where(a < min2, a, min2))
+            minidx = jnp.where(is_min, t, minidx)
+            min1 = jnp.where(is_min, a, min1)
+        for t, msg in enumerate(views):
+            mag = jnp.where(minidx == t, min2, min1)
+            out = sprod * mag * sgn_pos(msg)
+            if variant == "normalized":
+                out = out / alpha
+            elif variant == "offset":
+                m2 = jnp.abs(out) - delta
+                out = jnp.where(m2 > 0, sgn_pos(out) * m2, jnp.zeros_like(out))
+            bj, s, shift = table[bi][t]
+            c2v_slots[bj][s] = jnp.roll(out, shift, axis=0)
+
+    # assemble [Nb, dv_max, z, B]; missing slots (irregular dv) are zero
+    zero = jnp.zeros((z, b), dtype)
+    planes = []
+    for bj in range(qc.nb):
+        slots = list(c2v_slots[bj]) + [zero] * (
+            qc.dv_max - len(c2v_slots[bj])
+        )
+        planes.append(jnp.stack(slots))
+    return jnp.stack(planes)
+
+
+def qc_check_satisfied(qc: QCCode, d):
+    """d: [Nb, z, B] ±1 -> [B] all-checks-satisfied."""
+    ok = None
+    for bi in range(qc.mb):
+        prod = None
+        for bj, shift in qc.cn_blocks[bi]:
+            v = jnp.roll(d[bj], -shift, axis=0)
+            prod = v if prod is None else prod * v
+        row_ok = jnp.all(prod > 0, axis=0)  # [B]
+        ok = row_ok if ok is None else ok & row_ok
+    return ok
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "qc",
+        "num_iterations",
+        "variant",
+        "early_termination",
+        "storage_dtype",
+    ),
+)
+def decode_minsum_qc(
+    qc: QCCode,
+    y: jax.Array,
+    num_iterations: int,
+    variant: str = "plain",
+    alpha: float = 1.0,
+    delta: float = 0.0,
+    early_termination: bool = False,
+    storage_dtype=None,
+) -> DecodeResult:
+    """Batched flooding min-sum on a QC code.  y: [B, N].
+
+    storage_dtype: optional narrower dtype (e.g. float16) for the message
+    arrays.  CN min/sign is exact on the stored values and c2v magnitudes
+    are copies of stored inputs (lossless), so the only rounding is the
+    per-iteration v2c store after the f32 VN sum — a bandwidth/precision
+    trade measured at ~1% BER effect for f16 at the 2 dB operating point
+    (vs ~60% for doing all arithmetic in bf16).
+    """
+    y_t = jnp.asarray(y).T  # [N, B]
+    n, b = y_t.shape
+    assert n == qc.n, (n, qc.n)
+    yb = y_t.reshape(qc.nb, qc.z, b)
+    dv_max = qc.dv_max
+    sdt = storage_dtype if storage_dtype is not None else y_t.dtype
+
+    # initializeSymMessages: all slots start at the channel sample
+    v2c0 = jnp.broadcast_to(yb[:, None], (qc.nb, dv_max, qc.z, b)).astype(sdt)
+    # static slot-validity mask per (bj, s)
+    valid = jnp.asarray(
+        [
+            [s < len(qc.vn_blocks[bj]) for s in range(dv_max)]
+            for bj in range(qc.nb)
+        ]
+    )[:, :, None, None]
+
+    def one_iteration(v2c):
+        c2v = qc_cn_minsum(qc, v2c, variant, alpha, delta)
+        c2v_acc = c2v.astype(y_t.dtype)
+        total = yb + jnp.sum(c2v_acc, axis=1)  # [Nb, z, B]
+        v2c_new = jnp.where(
+            valid, (total[:, None] - c2v_acc).astype(sdt), jnp.zeros((), sdt)
+        )
+        d = jnp.where(total > 0, 1, -1).astype(jnp.int32)
+        return v2c_new, d
+
+    if not early_termination:
+        d0 = jnp.where(yb > 0, 1, -1).astype(jnp.int32)
+
+        def body(_, carry):
+            v2c, _d = carry
+            v2c, d = one_iteration(v2c)
+            return (v2c, d)
+
+        _v2c, d = jax.lax.fori_loop(0, num_iterations, body, (v2c0, d0))
+        return DecodeResult(
+            hard=d.reshape(n, b).T,
+            iterations=jnp.full((b,), num_iterations, jnp.int32),
+            satisfied=qc_check_satisfied(qc, d),
+        )
+
+    d0 = jnp.where(yb > 0, 1, -1).astype(jnp.int32)
+    done0 = qc_check_satisfied(qc, d0)
+    iters0 = jnp.zeros((b,), jnp.int32)
+
+    def cond(carry):
+        t, _v2c, _d, _iters, done = carry
+        return (t < num_iterations) & ~jnp.all(done)
+
+    def body(carry):
+        t, v2c, d, iters, done = carry
+        v2c_new, d_new = one_iteration(v2c)
+        act = ~done
+        v2c = jnp.where(act[None, None, None, :], v2c_new, v2c)
+        d = jnp.where(act[None, None, :], d_new, d)
+        iters = jnp.where(act, t + 1, iters)
+        done = done | qc_check_satisfied(qc, d)
+        return (t + 1, v2c, d, iters, done)
+
+    _t, _v2c, d, iters, done = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), v2c0, d0, iters0, done0)
+    )
+    return DecodeResult(hard=d.reshape(n, b).T, iterations=iters, satisfied=done)

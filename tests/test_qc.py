@@ -1,0 +1,120 @@
+"""QC code structure + gather-free decoder equivalence tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ldpcsimulation_tpu.channel import awgn, snr_to_sigma
+from ldpcsimulation_tpu.codes.qc import (
+    build_qc_code,
+    find_girth6_shifts,
+    qc_peg,
+)
+from ldpcsimulation_tpu.decoders.minsum import decode_minsum
+from ldpcsimulation_tpu.decoders.minsum_qc import (
+    decode_minsum_qc,
+    qc_check_satisfied,
+)
+
+
+@pytest.fixture(scope="module")
+def small_qc():
+    return qc_peg(12, 6, 3, z=8, seed=3)  # (96, 48)
+
+
+def test_qc_construction(small_qc):
+    qc = small_qc
+    assert qc.n == 96 and qc.m == 48
+    assert qc.dv_max == 3
+    h = qc.to_alist().to_dense()
+    assert h.shape == (48, 96)
+    assert (h.sum(axis=0) == 3).all()
+    gram = h.T @ h
+    np.fill_diagonal(gram, 0)
+    assert gram.max() <= 1  # girth >= 6 guaranteed by shift search
+
+
+def test_find_girth6_rejects_bad_small_z():
+    mask = np.ones((2, 4), np.int64)  # dense base
+    with pytest.raises(RuntimeError):
+        find_girth6_shifts(mask, z=2, tries=20)
+
+
+def test_qc_block_tables(small_qc):
+    qc = small_qc
+    base = np.array(qc.base)
+    for bj, rows in enumerate(qc.vn_blocks):
+        assert [bi for bi, _ in rows] == sorted(
+            bi for bi in range(qc.mb) if base[bi, bj] >= 0
+        )
+        for bi, shift in rows:
+            assert shift == base[bi, bj] % qc.z
+    for bi, cols in enumerate(qc.cn_blocks):
+        assert [bj for bj, _ in cols] == sorted(
+            bj for bj in range(qc.nb) if base[bi, bj] >= 0
+        )
+
+
+@pytest.mark.parametrize(
+    "variant,kw",
+    [("plain", {}), ("normalized", {"alpha": 1.25}), ("offset", {"delta": 0.1})],
+)
+def test_qc_decoder_bitexact_vs_generic(small_qc, rng, variant, kw):
+    qc = small_qc
+    code = qc.to_code()
+    y = rng.normal(0, 1.2, size=(16, qc.n))
+    r1 = decode_minsum(code, jnp.asarray(y), 8, variant=variant, **kw)
+    r2 = decode_minsum_qc(qc, jnp.asarray(y), 8, variant=variant, **kw)
+    np.testing.assert_array_equal(np.asarray(r1.hard), np.asarray(r2.hard))
+    np.testing.assert_array_equal(
+        np.asarray(r1.satisfied), np.asarray(r2.satisfied)
+    )
+
+
+def test_qc_decoder_early_termination(small_qc, rng):
+    qc = small_qc
+    code = qc.to_code()
+    y = rng.normal(0.8, 0.7, size=(32, qc.n))
+    r1 = decode_minsum(code, jnp.asarray(y), 15, early_termination=True)
+    r2 = decode_minsum_qc(qc, jnp.asarray(y), 15, early_termination=True)
+    np.testing.assert_array_equal(np.asarray(r1.hard), np.asarray(r2.hard))
+    np.testing.assert_array_equal(
+        np.asarray(r1.iterations), np.asarray(r2.iterations)
+    )
+
+
+def test_qc_check_satisfied(small_qc):
+    qc = small_qc
+    d = jnp.ones((qc.nb, qc.z, 3), jnp.int32)  # all-one word is a codeword
+    assert np.asarray(qc_check_satisfied(qc, d)).all()
+    d = d.at[0, 0, 1].set(-1)  # single bit flip violates its checks
+    ok = np.asarray(qc_check_satisfied(qc, d))
+    assert ok[0] and not ok[1] and ok[2]
+
+
+def test_qc_hybrid_storage_decodes(small_qc):
+    """f16 storage + f32 arithmetic: decodes clean frames, decisions match
+    full precision on a comfortable-SNR batch."""
+    qc = small_qc
+    sigma = float(snr_to_sigma(5.0, 0.5))
+    y = awgn(jax.random.key(2), jnp.ones((64, qc.n)), sigma, dtype=jnp.float32)
+    r32 = decode_minsum_qc(qc, y, 12, early_termination=True)
+    r16 = decode_minsum_qc(
+        qc, y, 12, early_termination=True, storage_dtype=jnp.float16
+    )
+    h32 = np.asarray(r32.hard)
+    h16 = np.asarray(r16.hard)
+    assert (h16 == h32).mean() > 0.999
+    assert (h16 == 1).all(axis=1).mean() > 0.9
+
+
+def test_qc_flagship_registry():
+    from ldpcsimulation_tpu.codes.library import load_named_qc
+
+    qc = load_named_qc("qc_1008_504")
+    assert qc.n == 1008 and qc.m == 504
+    h = qc.to_alist().to_dense()
+    gram = h.T @ h
+    np.fill_diagonal(gram, 0)
+    assert gram.max() <= 1
