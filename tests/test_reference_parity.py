@@ -1,0 +1,123 @@
+"""Statistical BER/FER cross-validation against the compiled C reference.
+
+SURVEY §4's "golden-model cross-check" made executable: compile the
+reference simulators from the read-only checkout, run them at an operating
+point (they stop at their own error thresholds), decode the *same
+parity-check matrix* with this framework at the same point, and require the
+BER estimates to agree within Monte-Carlo bounds.  Skips when the reference
+checkout or toolchain is unavailable.
+"""
+
+import os
+import subprocess
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ldpcsimulation_tpu.channel import llr_from_channel, snr_to_n0
+from ldpcsimulation_tpu.codes import build_code, load_alist
+from ldpcsimulation_tpu.decoders.bp import decode_bp
+from ldpcsimulation_tpu.decoders.minsum import decode_minsum
+from ldpcsimulation_tpu.harness import StopRule, simulate
+from tests.conftest import REFERENCE_ROOT, require_reference
+
+PEG_ALIST = "C_implementations/codes/PEGReg504x1008/PEGReg504x1008.alist"
+
+
+@pytest.fixture(scope="session")
+def ref_bins(tmp_path_factory):
+    src = os.path.join(REFERENCE_ROOT, "C_implementations")
+    if not os.path.isdir(src):
+        pytest.skip("reference checkout not available")
+    build = tmp_path_factory.mktemp("refbuild")
+    objs = []
+    try:
+        for unit in ("nrutil", "r", "alist"):
+            obj = build / f"{unit}.o"
+            subprocess.run(
+                ["g++", "-O2", f"-I{src}/inc", "-c", "-o", str(obj),
+                 f"{src}/src/{unit}.cpp"],
+                check=True, capture_output=True, timeout=120,
+            )
+            objs.append(str(obj))
+        bins = {}
+        for name, extra in [
+            ("decodeMinSum", []),
+            ("decodeBP", []),
+        ]:
+            out = build / name
+            subprocess.run(
+                ["g++", "-O2", f"-I{src}/inc", "-o", str(out), *objs,
+                 f"{src}/src/{name}.cpp", "-lm"],
+                check=True, capture_output=True, timeout=120,
+            )
+            bins[name] = str(out)
+    except (subprocess.CalledProcessError, FileNotFoundError) as e:
+        pytest.skip(f"cannot build reference binaries: {e}")
+    return bins
+
+
+def _run_ref(binary, alist, rate, snr, iters, log):
+    subprocess.run(
+        [binary, alist, str(rate), str(snr), str(iters), log],
+        check=True, capture_output=True, timeout=600,
+    )
+    row = open(log).read().strip().splitlines()[-1].split("\t")
+    # SNR BER avgIters WER T [...] alist  (decodeMinSum.cpp:313-329)
+    return dict(ber=float(row[1]), fer=float(row[3]))
+
+
+def _assert_close_ber(ours: float, ref: float, factor: float):
+    assert ref > 0 and ours > 0
+    ratio = ours / ref
+    assert 1.0 / factor < ratio < factor, (
+        f"BER mismatch: ours={ours:.4e} ref={ref:.4e} ratio={ratio:.2f}"
+    )
+
+
+def test_minsum_ber_matches_reference(ref_bins, tmp_path):
+    alist_path = require_reference(PEG_ALIST)
+    code = build_code(load_alist(alist_path))
+    snr, T = 2.0, 10
+    ref = _run_ref(
+        ref_bins["decodeMinSum"], alist_path, 0.5, snr, T,
+        str(tmp_path / "ms.log"),
+    )
+    stats = simulate(
+        code,
+        lambda y, key: decode_minsum(code, y, num_iterations=T),
+        snr_db=snr,
+        rate=0.5,
+        stop=StopRule.fixed_frames(512),
+        batch_size=256,
+        seed=123,
+    )
+    # reference stops at >=200 bit errors (~70 frames here); both estimates
+    # carry Monte-Carlo noise — bound the ratio generously but tightly
+    # enough to catch algorithmic deviations (e.g. a wrong sign convention
+    # or update order shifts BER by >2x at this point)
+    _assert_close_ber(stats.ber, ref["ber"], factor=1.35)
+
+
+def test_bp_ber_matches_reference(ref_bins, tmp_path):
+    alist_path = require_reference(PEG_ALIST)
+    code = build_code(load_alist(alist_path))
+    snr, T = 1.6, 20  # higher-BER point keeps both sides cheap
+    ref = _run_ref(
+        ref_bins["decodeBP"], alist_path, 0.5, snr, T,
+        str(tmp_path / "bp.log"),
+    )
+    n0 = float(snr_to_n0(snr, 0.5))
+    stats = simulate(
+        code,
+        lambda llr, key: decode_bp(code, llr, num_iterations=T),
+        snr_db=snr,
+        rate=0.5,
+        stop=StopRule.fixed_frames(384),
+        batch_size=128,
+        preprocess=lambda y: llr_from_channel(y, n0),
+        seed=321,
+    )
+    _assert_close_ber(stats.ber, ref["ber"], factor=1.35)
