@@ -33,7 +33,13 @@ from .alist import Alist
 from .code import Code, build_code
 from .construct import peg, qc_expand
 
-__all__ = ["QCCode", "build_qc_code", "qc_peg", "find_girth6_shifts"]
+__all__ = [
+    "QCCode",
+    "build_qc_code",
+    "qc_peg",
+    "qc_ira",
+    "find_girth6_shifts",
+]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -141,3 +147,50 @@ def qc_peg(
     mask = base_alist.to_dense()
     base = find_girth6_shifts(mask, z, seed=seed)
     return build_qc_code(base, z)
+
+
+def qc_ira(
+    nb_info: int,
+    mb: int,
+    z: int,
+    dv_info: int = 4,
+    seed: int = 0,
+    tries: int = 2000,
+) -> QCCode:
+    """802.11n/802.16e-style IRA-structured QC code.
+
+    Base = [H_info | h0 | T]: a PEG-constructed info part of column weight
+    ``dv_info``, a weight-3 first parity column (rows 0, mb//2, mb−1 with
+    shifts s, 0, s — the standard's encodability trick), and a zero-shift
+    dual-diagonal accumulator T.  Shifts on the info part are searched for
+    girth ≥ 6 with the fixed parity structure included in the cycle test.
+
+    This reproduces the *structure class* of the IEEE 802.11n rate-1/2
+    prototype (12×24 base at z=81 gives (1944, 972)); the specific shift
+    table is our own girth-optimized assignment, not the standard's.
+    """
+    rng = np.random.default_rng(seed)
+    nb = nb_info + mb
+    info_alist = peg(nb_info, mb, dv_info, seed=seed)
+    info_mask = info_alist.to_dense()  # [mb, nb_info]
+
+    def parity_base(s0: int) -> np.ndarray:
+        p = np.full((mb, mb), -1, np.int64)
+        p[0, 0] = s0
+        p[mb // 2, 0] = 0
+        p[mb - 1, 0] = s0
+        for i in range(mb - 1):
+            p[i, i + 1] = 0
+            p[i + 1, i + 1] = 0
+        p[0, 0] = s0
+        return p
+
+    for _ in range(tries):
+        base = np.full((mb, nb), -1, np.int64)
+        base[:, :nb_info] = np.where(
+            info_mask > 0, rng.integers(0, z, (mb, nb_info)), -1
+        )
+        base[:, nb_info:] = parity_base(int(rng.integers(1, z)))
+        if _base_cycles4_ok(base, z):
+            return build_qc_code(base, z)
+    raise RuntimeError("no girth-6 IRA shift assignment found")

@@ -1,0 +1,151 @@
+"""Row-layered min-sum schedule for QC codes.
+
+The reference implements only the flooding schedule (every program updates
+all checks, then all variables — e.g. ``decodeMinSum.cpp:247-263``).  A
+layered (serial-C) schedule propagates information within an iteration and
+typically halves the iteration count at equal BER; the BASELINE config list
+includes a "layered vs flooding schedule comparison" on an 802.11n-class QC
+code, so layered decoding is a first-class framework feature (TPU-native
+design, no reference counterpart).
+
+Semantics (standard row-layered min-sum):
+  * State: posterior LLRs ``q[N]`` (init = channel samples) and stored
+    check messages ``L[c, j]`` (init = 0).
+  * For each layer (here: one QC base-row, whose z checks touch each
+    variable at most once — conflict-free by block structure):
+        q_ext[j] = q[v_j] − L_old[c, j]
+        L_new[c, j] = minsum over the row's q_ext (same two-min scan and
+                      <=-tie-break as the flooding CN update)
+        q[v_j] = q_ext[j] + L_new[c, j]
+  * One iteration = one pass over all Mb layers (base-row order).
+  * Decisions d = sign(q) with the BP/MS sgn(0)=+1 ... decision rule
+    ``q > 0 ? +1 : −1`` matching decodeMinSum.cpp:470-474.
+
+Normalized/offset variants apply to L_new exactly as in flooding.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..codes.qc import QCCode
+from .base import DecodeResult, sgn_pos
+from .minsum_qc import qc_check_satisfied
+
+__all__ = ["decode_minsum_layered_qc"]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "qc",
+        "num_iterations",
+        "variant",
+        "early_termination",
+        "storage_dtype",
+    ),
+)
+def decode_minsum_layered_qc(
+    qc: QCCode,
+    y: jax.Array,
+    num_iterations: int,
+    variant: str = "plain",
+    alpha: float = 1.0,
+    delta: float = 0.0,
+    early_termination: bool = False,
+    storage_dtype=None,
+) -> DecodeResult:
+    """Batched row-layered min-sum on a QC code.  y: [B, N]."""
+    y_t = jnp.asarray(y).T
+    n, b = y_t.shape
+    assert n == qc.n
+    z = qc.z
+    dtype = y_t.dtype
+    sdt = storage_dtype if storage_dtype is not None else dtype
+    q0 = y_t.reshape(qc.nb, z, b)
+    dc_max = qc.dc_max
+    # stored check messages, CN-row space: [Mb, dc_max, z, B]
+    l0 = jnp.zeros((qc.mb, dc_max, z, b), sdt)
+    inf = jnp.asarray(jnp.inf, dtype)
+
+    def one_iteration(q, L):
+        for bi in range(qc.mb):
+            blocks = qc.cn_blocks[bi]
+            dc = len(blocks)
+            # extrinsic inputs in CN-row space
+            qext = []
+            for t, (bj, shift) in enumerate(blocks):
+                qv = jnp.roll(q[bj], -shift, axis=0)
+                qext.append(qv - L[bi, t].astype(dtype))
+            # two-min scan, <= tie-break (decodeMinSum.cpp:410-450)
+            min1 = jnp.full((z, b), inf, dtype)
+            min2 = jnp.full((z, b), inf, dtype)
+            minidx = jnp.full((z, b), -1, jnp.int32)
+            sprod = jnp.ones((z, b), dtype)
+            for t in range(dc):
+                a = jnp.abs(qext[t])
+                sprod = sprod * sgn_pos(qext[t])
+                is_min = a <= min1
+                min2 = jnp.where(is_min, min1, jnp.where(a < min2, a, min2))
+                minidx = jnp.where(is_min, t, minidx)
+                min1 = jnp.where(is_min, a, min1)
+            new_rows = []
+            for t, (bj, shift) in enumerate(blocks):
+                mag = jnp.where(minidx == t, min2, min1)
+                out = sprod * mag * sgn_pos(qext[t])
+                if variant == "normalized":
+                    out = out / alpha
+                elif variant == "offset":
+                    m2 = jnp.abs(out) - delta
+                    out = jnp.where(
+                        m2 > 0, sgn_pos(out) * m2, jnp.zeros_like(out)
+                    )
+                # immediate posterior update (the layered property)
+                q = q.at[bj].set(jnp.roll(qext[t] + out, shift, axis=0))
+                new_rows.append(out.astype(sdt))
+            pad = [jnp.zeros((z, b), sdt)] * (dc_max - dc)
+            L = L.at[bi].set(jnp.stack(new_rows + pad))
+        return q, L
+
+    def decide(q):
+        return jnp.where(q > 0, 1, -1).astype(jnp.int32)
+
+    if not early_termination:
+        def body(_, carry):
+            q, L = carry
+            return one_iteration(q, L)
+
+        q, _l = jax.lax.fori_loop(0, num_iterations, body, (q0, l0))
+        d = decide(q)
+        return DecodeResult(
+            hard=d.reshape(n, b).T,
+            iterations=jnp.full((b,), num_iterations, jnp.int32),
+            satisfied=qc_check_satisfied(qc, d),
+        )
+
+    done0 = qc_check_satisfied(qc, decide(q0))
+    iters0 = jnp.zeros((b,), jnp.int32)
+
+    def cond(carry):
+        t, _q, _l, _iters, done = carry
+        return (t < num_iterations) & ~jnp.all(done)
+
+    def body(carry):
+        t, q, L, iters, done = carry
+        q_new, l_new = one_iteration(q, L)
+        act = ~done
+        q = jnp.where(act[None, None, :], q_new, q)
+        L = jnp.where(act[None, None, None, :], l_new, L)
+        iters = jnp.where(act, t + 1, iters)
+        done = done | qc_check_satisfied(qc, decide(q))
+        return (t + 1, q, L, iters, done)
+
+    _t, q, _l, iters, done = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), q0, l0, iters0, done0)
+    )
+    return DecodeResult(
+        hard=decide(q).reshape(n, b).T, iterations=iters, satisfied=done
+    )

@@ -1,0 +1,126 @@
+"""Layered min-sum schedule: correctness + convergence-vs-flooding tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ldpcsimulation_tpu.channel import awgn, snr_to_sigma
+from ldpcsimulation_tpu.codes.qc import QCCode, qc_ira, qc_peg
+from ldpcsimulation_tpu.decoders.minsum_layered import decode_minsum_layered_qc
+from ldpcsimulation_tpu.decoders.minsum_qc import decode_minsum_qc
+
+
+def layered_oracle(qc: QCCode, y, T, variant="plain", alpha=1.0, delta=0.0):
+    """Straightforward per-edge NumPy implementation of the layered spec."""
+    z = qc.z
+    q = np.array(y, np.float64).reshape(qc.nb, z)
+    L = {}  # (bi, t) -> [z]
+    for bi in range(qc.mb):
+        for t in range(len(qc.cn_blocks[bi])):
+            L[(bi, t)] = np.zeros(z)
+    for _ in range(T):
+        for bi in range(qc.mb):
+            blocks = qc.cn_blocks[bi]
+            for r in range(z):  # each check row independently
+                qext = []
+                for t, (bj, shift) in enumerate(blocks):
+                    rc = (r + shift) % z
+                    qext.append(q[bj, rc] - L[(bi, t)][r])
+                min1 = min2 = np.inf
+                minidx = -1
+                sprod = 1.0
+                for t, v in enumerate(qext):
+                    a = abs(v)
+                    sprod *= 1.0 if v >= 0 else -1.0
+                    if a <= min1:
+                        min2, min1, minidx = min1, a, t
+                    elif a < min2:
+                        min2 = a
+                for t, (bj, shift) in enumerate(blocks):
+                    mag = min2 if t == minidx else min1
+                    out = sprod * mag * (1.0 if qext[t] >= 0 else -1.0)
+                    if variant == "normalized":
+                        out = out / alpha
+                    elif variant == "offset":
+                        m2 = abs(out) - delta
+                        out = (1.0 if out >= 0 else -1.0) * m2 if m2 > 0 else 0.0
+                    rc = (r + shift) % z
+                    q[bj, rc] = qext[t] + out
+                    L[(bi, t)][r] = out
+    d = np.where(q.reshape(-1) > 0, 1, -1)
+    return d
+
+
+@pytest.fixture(scope="module")
+def lqc():
+    return qc_peg(12, 6, 3, z=8, seed=3)  # (96, 48)
+
+
+@pytest.mark.parametrize(
+    "variant,kw",
+    [("plain", {}), ("normalized", {"alpha": 1.25}), ("offset", {"delta": 0.1})],
+)
+def test_layered_matches_numpy_oracle(lqc, rng, variant, kw):
+    y = rng.normal(0.5, 1.0, size=(4, lqc.n))
+    res = decode_minsum_layered_qc(
+        lqc, jnp.asarray(y), num_iterations=4, variant=variant, **kw
+    )
+    hard = np.asarray(res.hard)
+    for f in range(4):
+        d_ref = layered_oracle(lqc, y[f], 4, variant=variant, **kw)
+        np.testing.assert_array_equal(hard[f], d_ref, err_msg=f"frame {f}")
+
+
+def test_layered_converges_faster_than_flooding():
+    """The point of the layered schedule: fewer iterations at equal BER."""
+    qc = qc_peg(24, 12, 3, z=16, seed=5)  # (384, 192)
+    sigma = float(snr_to_sigma(3.0, 0.5))
+    y = awgn(jax.random.key(0), jnp.ones((256, qc.n)), sigma)
+    fl = decode_minsum_qc(qc, y, num_iterations=30, early_termination=True)
+    la = decode_minsum_layered_qc(qc, y, num_iterations=30, early_termination=True)
+    it_f = np.asarray(fl.iterations, float)
+    it_l = np.asarray(la.iterations, float)
+    ok_f = np.asarray(fl.satisfied)
+    ok_l = np.asarray(la.satisfied)
+    assert ok_l.mean() >= ok_f.mean() - 0.02
+    both = ok_f & ok_l
+    assert it_l[both].mean() < 0.75 * it_f[both].mean(), (
+        f"layered {it_l[both].mean():.2f} vs flooding {it_f[both].mean():.2f}"
+    )
+
+
+def test_layered_decodes_clean(lqc):
+    y = jnp.ones((8, lqc.n)) * 0.9
+    res = decode_minsum_layered_qc(lqc, y, num_iterations=5)
+    assert (np.asarray(res.hard) == 1).all()
+    assert np.asarray(res.satisfied).all()
+
+
+def test_wifi_like_code():
+    from ldpcsimulation_tpu.codes.library import load_named_qc
+
+    qc = load_named_qc("wifi_like_1944_972")
+    assert qc.n == 1944 and qc.m == 972 and qc.z == 81
+    h = qc.to_alist().to_dense()
+    gram = h.T @ h
+    np.fill_diagonal(gram, 0)
+    assert gram.max() <= 1
+    # IRA parity part: last column weight 2, accumulator chain
+    col_w = h.sum(axis=0)
+    assert col_w[-1] == 2
+    assert col_w[12 * 81] == 3  # first parity column weight 3
+
+
+def test_layered_on_wifi_like():
+    from ldpcsimulation_tpu.codes.library import load_named_qc
+
+    qc = load_named_qc("wifi_like_1944_972")
+    sigma = float(snr_to_sigma(2.5, 0.5))
+    y = awgn(jax.random.key(1), jnp.ones((32, qc.n)), sigma)
+    res = decode_minsum_layered_qc(
+        qc, y, num_iterations=30, variant="normalized", alpha=1.25,
+        early_termination=True,
+    )
+    hard = np.asarray(res.hard)
+    assert (hard == 1).all(axis=1).mean() > 0.8
