@@ -26,7 +26,13 @@ import numpy as np
 from .alist import Alist
 from .code import Code, build_code
 
-__all__ = ["peg", "random_regular", "qc_expand", "make_regular_code"]
+__all__ = [
+    "peg",
+    "random_regular",
+    "qc_expand",
+    "make_regular_code",
+    "nb_regular",
+]
 
 
 def peg(
@@ -182,6 +188,37 @@ def qc_expand(base: np.ndarray, z: int) -> Alist:
     for c in range(m):
         mlist[c].sort()
     return Alist(n=n, m=m, nlist=nlist, mlist=mlist)
+
+
+def nb_regular(
+    n: int, m: int, dv: int, q: int, seed: int = 0, method: str = "peg"
+) -> Alist:
+    """Non-binary regular LDPC over GF(q): binary PEG/random structure with
+    uniformly random nonzero GF coefficients per edge.
+
+    The reference's NB codes (``SystemC/NB-LDPC/codes/GF{2,4,8}``) are
+    sparse structures with per-edge field values in the same "N M q" alist
+    dialect this produces.
+    """
+    a = peg(n, m, dv, seed=seed) if method == "peg" else random_regular(
+        n, m, dv, seed=seed
+    )
+    rng = np.random.default_rng(seed + 0x9E3779B9)
+    nvals = [
+        [int(rng.integers(1, q)) for _ in rows] for rows in a.nlist
+    ]
+    val_of = {
+        (i, j): v
+        for j, (rows, vv) in enumerate(zip(a.nlist, nvals))
+        for i, v in zip(rows, vv)
+    }
+    mvals = [
+        [val_of[(i, j)] for j in cols] for i, cols in enumerate(a.mlist)
+    ]
+    return Alist(
+        n=a.n, m=a.m, nlist=a.nlist, mlist=a.mlist, q=q,
+        nvals=nvals, mvals=mvals,
+    )
 
 
 def make_regular_code(
