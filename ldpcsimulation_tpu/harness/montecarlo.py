@@ -119,6 +119,14 @@ class MCStats:
             self.total_iterations / self.total_words if self.total_words else 0.0
         )
 
+    def iteration_cdf(self) -> np.ndarray:
+        """NGDBFhw's itdist (NGDBFhw.cpp:419-421, 464-469): itdist[idx] =
+        fraction of frames whose decode used >= idx iterations."""
+        if self.iteration_hist is None or self.total_words == 0:
+            return np.zeros(0)
+        tail = self.iteration_hist[::-1].cumsum()[::-1]
+        return tail / self.total_words
+
     def incremental_report(self) -> str:
         """Reference-style console line (decodeMinSum.cpp:291-297)."""
         lines = [
@@ -170,6 +178,10 @@ def simulate(
         if codewords.ndim != 2 or codewords.shape[1] != code.n:
             raise ValueError(f"codewords must be [L, {code.n}]")
 
+    # decoder-family extras surfaced per frame when present on the result
+    # (GDBFResult.smoothing_used/phases, NGDBFHwResult.least_errors)
+    EXTRA_FIELDS = ("smoothing_used", "phases", "least_errors")
+
     @jax.jit
     def batch_step(key, bits):
         kch, kdec = jax.random.split(key)
@@ -181,7 +193,10 @@ def simulate(
         res = decode_fn(inp, kdec)
         frame_errs = jnp.sum(res.hard != c, axis=1).astype(jnp.int32)
         uncoded = jnp.sum(r != c, axis=1).astype(jnp.int32)
-        return frame_errs, uncoded, res.iterations, res.satisfied
+        extras = {
+            k: getattr(res, k) for k in EXTRA_FIELDS if hasattr(res, k)
+        }
+        return frame_errs, uncoded, res.iterations, res.satisfied, extras
 
     stats = MCStats(n=code.n)
     t0 = time.perf_counter()
@@ -201,7 +216,7 @@ def simulate(
         else:
             bits = jnp.zeros((b, code.n), jnp.uint8)
         key = jax.random.fold_in(root, batch_idx)
-        frame_errs, uncoded, iters, satisfied = jax.device_get(
+        frame_errs, uncoded, iters, satisfied, extras = jax.device_get(
             batch_step(key, bits)
         )
 
@@ -222,6 +237,26 @@ def simulate(
             grown[: stats.iteration_hist.size] = stats.iteration_hist
             stats.iteration_hist = grown
         np.add.at(stats.iteration_hist, iters, 1)
+
+        # decoder-family extras: totals + phase histogram (RNGDBF
+        # phase_hist, RNGDBF.cpp:402-403)
+        if "smoothing_used" in extras:
+            stats.extra["smoothing_used"] = stats.extra.get(
+                "smoothing_used", 0
+            ) + int(extras["smoothing_used"].sum())
+        if "phases" in extras:
+            ph = np.asarray(extras["phases"])
+            hist = stats.extra.get("phase_hist")
+            width = max(int(ph.max()), len(hist) if hist is not None else 0)
+            grown = np.zeros(width, np.int64)
+            if hist is not None:
+                grown[: len(hist)] += hist
+            np.add.at(grown, ph - 1, 1)
+            stats.extra["phase_hist"] = grown
+        if "least_errors" in extras:
+            stats.extra["least_errors_sum"] = stats.extra.get(
+                "least_errors_sum", 0
+            ) + int(extras["least_errors"].sum())
 
         batch_idx += 1
         frame_offset += b

@@ -1,0 +1,114 @@
+"""Deterministic frame replay with per-iteration traces.
+
+Reference counterpart: the record/replay pair
+``newstat.cpp`` (``recordRanState`` — GSL RNG state snapshots per frame,
+``:783-791``) + ``replayGDBF.cpp`` (``loadRanState`` ``:771-779``, trace
+files of decisions and check messages per iteration ``:316-373``).
+
+Here replay needs no state files: every frame's channel noise and decoder
+perturbation are pure functions of (seed, batch index, frame index), so any
+frame from a :func:`..harness.simulate` run is reproducible from its
+coordinates alone.  ``trace_gdbf`` re-runs a single frame capturing the
+per-iteration decisions and bipolar syndromes — the data ``errtopng``
+renders (``errtopng.cpp:28-110``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..channel.awgn import awgn, bpsk, snr_to_sigma
+from ..codes.code import Code
+from ..decoders.base import syndrome_from_hard
+from ..decoders.gdbf import GDBFConfig, decode_gdbf
+
+__all__ = ["replay_channel", "trace_gdbf", "write_trace"]
+
+
+def replay_channel(
+    code: Code,
+    seed: int,
+    batch_index: int,
+    frame_index: int,
+    batch_size: int,
+    sigma: float,
+    bits: Optional[np.ndarray] = None,
+    awgn_form: str = "multiplicative",
+):
+    """Reproduce one frame's channel output exactly as simulate() drew it.
+
+    Mirrors the key-folding scheme of harness.montecarlo.simulate: batch key
+    = fold_in(key(seed), batch_index); channel key = split()[0].
+    """
+    root = jax.random.key(seed)
+    key = jax.random.fold_in(root, batch_index)
+    kch, kdec = jax.random.split(key)
+    if bits is None:
+        bits = jnp.zeros((batch_size, code.n), jnp.uint8)
+    x = bpsk(bits).astype(jnp.float32)
+    y = awgn(kch, x, sigma, form=awgn_form)
+    return np.asarray(y[frame_index]), kdec
+
+
+@dataclasses.dataclass
+class GDBFTrace:
+    """Per-iteration evolution of one frame's decode."""
+
+    decisions: np.ndarray  # [T+1, N] ±1 (row 0 = channel decisions)
+    syndromes: np.ndarray  # [T+1, M] ±1
+    iterations: int
+    satisfied: bool
+
+
+def trace_gdbf(
+    code: Code,
+    yq: np.ndarray,
+    sigma: float,
+    cfg: GDBFConfig,
+    key: jax.Array,
+) -> GDBFTrace:
+    """Decode one frame, capturing state after every iteration.
+
+    Implemented by re-running the (deterministic, masked-frozen) decoder
+    with increasing iteration caps — O(T²) work but exact, with zero
+    decoder instrumentation.
+    """
+    y1 = jnp.asarray(yq)[None, :]
+    rows_d = [np.where(np.asarray(yq) > 0, 1, -1)]
+    final = None
+    for t in range(1, cfg.num_iterations + 1):
+        # intermediate rows show raw decisions (smoothing only rewrites the
+        # *final* output of unsatisfied frames, decodeGDBF.cpp:358-367)
+        cfg_t = dataclasses.replace(
+            cfg, num_iterations=t,
+            output_smoothing=cfg.output_smoothing and t == cfg.num_iterations,
+        )
+        res = decode_gdbf(code, y1, sigma, cfg_t, key=key)
+        rows_d.append(np.asarray(res.hard)[0])
+        final = res
+        if bool(res.satisfied[0]):
+            break
+    rows_s = [
+        np.asarray(syndrome_from_hard(code, jnp.asarray(d)[:, None]))[:, 0]
+        for d in rows_d
+    ]
+    return GDBFTrace(
+        decisions=np.stack(rows_d),
+        syndromes=np.stack(rows_s),
+        iterations=int(final.iterations[0]) if final is not None else 0,
+        satisfied=bool(final.satisfied[0]) if final is not None else True,
+    )
+
+
+def write_trace(trace: GDBFTrace, path: str) -> None:
+    """Text trace: one line of decisions then one of syndromes per
+    iteration (the replayGDBF.cpp:316-373 format family)."""
+    with open(path, "w") as f:
+        for it in range(trace.decisions.shape[0]):
+            f.write("d " + " ".join(map(str, trace.decisions[it])) + "\n")
+            f.write("s " + " ".join(map(str, trace.syndromes[it])) + "\n")

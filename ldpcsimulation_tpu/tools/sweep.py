@@ -1,0 +1,285 @@
+"""Experiment sweep runner — the CLI replacing the reference's bash grids.
+
+The reference's entire experiment-orchestration layer is 17 bash scripts of
+nested loops launching ``nohup ./bin/X … &`` per operating point
+(``C_implementations/scripts/*.sh``, e.g.
+``mngdbf_example_PEGReg504x1008.sh:43-59`` — a 5-deep sweep).  This runner
+collapses that into one command: a cartesian grid over SNR and algorithm
+parameters, each point simulated with the batched Monte-Carlo harness, and
+one reference-format row appended to the log per point.
+
+Examples:
+    python -m ldpcsimulation_tpu.tools.sweep minsum \
+        --code qc_1008_504 --snr 1.6:3.8:0.2 -T 8 --log ms.log
+    python -m ldpcsimulation_tpu.tools.sweep gdbf --preset SMNGDBF \
+        --alist PEGReg504x1008.alist --snr 2.0:4.0:0.25 -T 300 \
+        --theta -0.9 --noise-scale 0.975 0.75 --lam 0.988 \
+        --alpha 2.3 --window 64 --ymax 2.5 --log smngdbf.log
+    python -m ldpcsimulation_tpu.tools.sweep bp --code peg_1008_504 \
+        --snr 1.6:2.6:0.2 -T 100 --log bp.log
+"""
+
+from __future__ import annotations
+
+import argparse
+import itertools
+import sys
+from typing import List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..channel.awgn import llr_from_channel, snr_to_n0, snr_to_sigma
+from ..channel.quantize import quantize_no_zero, quantize_round, saturate
+from ..codes import build_code, load_alist
+from ..codes.library import NAMED_CODES, load_named_code
+from ..decoders.bp import decode_bp
+from ..decoders.ddbmp import decode_ddbmp
+from ..decoders.gdbf import PRESETS, preset
+from ..decoders.gdbf import decode_gdbf
+from ..decoders.minsum import decode_minsum
+from ..decoders.ngdbf_hw import NGDBFHwConfig, decode_ngdbf_hw
+from ..harness import (
+    StopRule,
+    append_row,
+    bp_log_row,
+    default_min_word_errors,
+    gdbf_log_row,
+    minsum_log_row,
+    ngdbfhw_log_row,
+    simulate,
+)
+from ..harness.fixtures import load_codeword_file
+
+__all__ = ["main", "build_parser"]
+
+
+def _parse_snr(spec: str) -> List[float]:
+    """"a:b:step" inclusive grid, or a single value, or comma list."""
+    if ":" in spec:
+        a, b, s = (float(x) for x in spec.split(":"))
+        n = int(round((b - a) / s)) + 1
+        return [round(a + i * s, 10) for i in range(n)]
+    if "," in spec:
+        return [float(x) for x in spec.split(",")]
+    return [float(spec)]
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="sweep", description=__doc__,
+        formatter_class=argparse.RawDescriptionHelpFormatter,
+    )
+    p.add_argument(
+        "decoder",
+        choices=["bp", "minsum", "offsetminsum", "normalizedminsum",
+                 "gdbf", "ddbmp", "ngdbfhw"],
+    )
+    src = p.add_mutually_exclusive_group(required=True)
+    src.add_argument("--code", choices=sorted(NAMED_CODES), help="named code")
+    src.add_argument("--alist", help="path to an alist file")
+    p.add_argument("--rate", type=float, help="code rate R (default k/n)")
+    p.add_argument("--snr", required=True, help="Eb/N0 grid 'a:b:step' dB")
+    p.add_argument("-T", "--iterations", type=int, required=True)
+    p.add_argument("--log", required=True, help="append-only result log")
+    p.add_argument("--codewords", help="data.enc-style codeword file")
+    p.add_argument("--batch", type=int, default=1024)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--max-frames", type=int, default=None)
+    p.add_argument("--min-errors", type=int, default=200)
+    p.add_argument("--min-word-errors", type=int, default=None)
+    p.add_argument("--early-termination", action="store_true")
+    p.add_argument("--verbose", action="store_true")
+    # min-sum / ddbmp quantization
+    p.add_argument("--ymax", type=float, nargs="+", default=[None])
+    p.add_argument("--nq", type=float, nargs="+", default=[None],
+                   help="quantizer levels (minsum/ddbmp) or bits (gdbf)")
+    p.add_argument("--alpha", type=float, nargs="+", default=[None])
+    p.add_argument("--delta", type=float, nargs="+", default=[None])
+    # gdbf family
+    p.add_argument("--preset", choices=sorted(PRESETS), default="SMNGDBF")
+    p.add_argument("--theta", type=float, nargs="+", default=[None])
+    p.add_argument("--noise-scale", type=float, nargs="+", default=[None])
+    p.add_argument("--lam", type=float, nargs="+", default=[None])
+    p.add_argument("--window", type=int, default=64)
+    p.add_argument("--max-phases", type=int, default=None)
+    # ngdbfhw
+    p.add_argument("--w", type=float, nargs="+", default=[None])
+    p.add_argument("--theta0", type=float, nargs="+", default=[None])
+    p.add_argument("--frames", type=int, default=10000,
+                   help="fixed frame count for ngdbfhw")
+    return p
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    args = build_parser().parse_args(argv)
+
+    if args.code:
+        code = load_named_code(args.code)
+        alist_name = args.code
+    else:
+        code = build_code(load_alist(args.alist))
+        alist_name = args.alist
+    rate = args.rate if args.rate is not None else code.rate
+    codewords = (
+        load_codeword_file(args.codewords, n=code.n)
+        if args.codewords
+        else None
+    )
+    snrs = _parse_snr(args.snr)
+    T = args.iterations
+    mwe = (
+        args.min_word_errors
+        if args.min_word_errors is not None
+        else default_min_word_errors(code.n)
+    )
+    stop = StopRule(
+        min_bit_errors=args.min_errors,
+        min_word_errors=mwe,
+        max_frames=args.max_frames,
+    )
+
+    def run_point(snr, decode_fn, preprocess=None, stop_override=None):
+        return simulate(
+            code,
+            decode_fn,
+            snr_db=snr,
+            rate=rate,
+            stop=stop_override or stop,
+            batch_size=args.batch,
+            seed=args.seed,
+            preprocess=preprocess,
+            codewords=codewords,
+            verbose=args.verbose,
+        )
+
+    rows = 0
+    grid = list(
+        itertools.product(
+            snrs, args.ymax, args.nq, args.alpha, args.delta,
+            args.theta, args.noise_scale, args.lam, args.w, args.theta0,
+        )
+    )
+    for (snr, ymax, nq, alpha, delta, theta, nscale, lam, w, theta0) in grid:
+        n0 = float(snr_to_n0(snr, rate))
+        sigma = float(snr_to_sigma(snr, rate))
+        if args.decoder == "bp":
+            stats = run_point(
+                snr,
+                lambda llr, key: decode_bp(
+                    code, llr, T, early_termination=args.early_termination
+                ),
+                preprocess=lambda y: llr_from_channel(y, n0),
+            )
+            row = bp_log_row(snr, stats, T, alist_name)
+        elif args.decoder in ("minsum", "offsetminsum", "normalizedminsum"):
+            variant = {"minsum": "plain", "offsetminsum": "offset",
+                       "normalizedminsum": "normalized"}[args.decoder]
+            pre = None
+            if variant != "plain":
+                ym = ymax if ymax is not None else 2.0
+                nql = nq if nq is not None else 8.0
+                pre = lambda y: quantize_no_zero(y, ym, nql)
+            stats = run_point(
+                snr,
+                lambda y, key: decode_minsum(
+                    code, y, T, variant=variant,
+                    alpha=alpha if alpha is not None else 1.0,
+                    delta=delta if delta is not None else 0.0,
+                    early_termination=args.early_termination,
+                ),
+                preprocess=pre,
+            )
+            row = minsum_log_row(
+                snr, stats, T, alist_name,
+                ymax=ymax if variant != "plain" else None,
+                alpha=alpha if variant == "normalized" else None,
+                delta=delta if variant == "offset" else None,
+            )
+        elif args.decoder == "gdbf":
+            cfg = preset(
+                args.preset,
+                num_iterations=T,
+                theta=theta if theta is not None else -0.9,
+                **{
+                    k: v
+                    for k, v in dict(
+                        noise_scale=nscale,
+                        lam=lam,
+                        alpha=alpha,
+                        window_size=args.window,
+                        max_phases=args.max_phases,
+                    ).items()
+                    if v is not None
+                },
+            )
+            def pre(y):
+                out = y
+                if ymax is not None:
+                    out = saturate(out, ymax)
+                if nq is not None:
+                    out = quantize_round(out, ymax or 2.25, int(nq))
+                return out
+            stats = run_point(
+                snr,
+                lambda yq, key: decode_gdbf(code, yq, sigma, cfg, key=key),
+                preprocess=pre,
+            )
+            row = gdbf_log_row(
+                snr, stats, T, cfg.theta, alist_name,
+                noise_scale=cfg.noise_scale if cfg.add_noise or cfg.quantize_probabilities else None,
+                nq=int(nq) if nq is not None else None,
+                lam=cfg.lam if cfg.threshold_adaptation else None,
+                alpha=cfg.alpha if cfg.weight_syndromes else None,
+                smoothing_used=int(stats.extra.get("smoothing_used", 0))
+                if cfg.output_smoothing else None,
+                window_size=cfg.window_size if cfg.output_smoothing else None,
+                ymax=ymax,
+            )
+        elif args.decoder == "ddbmp":
+            ym = ymax if ymax is not None else 1.5
+            nql = nq if nq is not None else 8.0
+            stats = run_point(
+                snr,
+                lambda yq, key: decode_ddbmp(code, yq, T),
+                preprocess=lambda y: quantize_no_zero(y, ym, nql),
+            )
+            row = minsum_log_row(snr, stats, T, alist_name, ymax=ym)
+        elif args.decoder == "ngdbfhw":
+            cfg = NGDBFHwConfig(
+                num_iterations=T,
+                w=w if w is not None else 0.185,
+                ymax=ymax if ymax is not None else 1.625,
+                noise_scale=nscale if nscale is not None else 0.95,
+                theta0=theta0 if theta0 is not None else -0.525,
+                max_phases=args.max_phases or 1,
+                ring_len=max(2648, code.n + 600),
+            )
+            # NGDBFhw runs a fixed frame count (NGDBFhw.cpp:193)
+            stats = run_point(
+                snr,
+                lambda y, key: decode_ngdbf_hw(code, y, sigma, cfg, key=key),
+                stop_override=StopRule.fixed_frames(args.frames),
+            )
+            row = ngdbfhw_log_row(
+                snr, stats, T, cfg.theta0, cfg.noise_scale, cfg.w,
+                cfg.ymax, cfg.nq, cfg.max_phases, args.seed,
+            )
+            # iteration-completion CDF file (NGDBFhw.cpp:464-469)
+            cdf = stats.iteration_cdf()
+            with open(f"{args.log}_{snr:g}_itdist.dat", "w") as f:
+                for idx, v in enumerate(cdf):
+                    f.write(f"{idx}\t{v:.6g}\n")
+        append_row(args.log, row)
+        rows += 1
+        print(
+            f"[{rows}/{len(grid)}] SNR={snr} BER={stats.ber:.4g} "
+            f"FER={stats.fer:.4g} frames={stats.total_words} "
+            f"({stats.wall_seconds:.1f}s)",
+            file=sys.stderr,
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,148 @@
+"""Tools layer: sweep CLI, replay/trace, error imaging, redecode stats."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ldpcsimulation_tpu.channel import snr_to_sigma
+from ldpcsimulation_tpu.codes import make_regular_code, save_alist, peg
+from ldpcsimulation_tpu.decoders.gdbf import preset
+from ldpcsimulation_tpu.tools import (
+    decisions_to_errors,
+    error_count_trace,
+    error_matrix_png,
+    redecode_statistics,
+    replay_channel,
+    trace_gdbf,
+    write_trace,
+)
+from ldpcsimulation_tpu.tools.sweep import _parse_snr, main as sweep_main
+
+
+def test_parse_snr():
+    assert _parse_snr("1.6:2.6:0.5") == [1.6, 2.1, 2.6]
+    assert _parse_snr("2.0") == [2.0]
+    assert _parse_snr("1,2,3") == [1.0, 2.0, 3.0]
+
+
+def test_sweep_minsum_named_code(tmp_path):
+    log = tmp_path / "ms.log"
+    rc = sweep_main(
+        [
+            "minsum", "--code", "peg_96_48", "--snr", "3.0:4.0:1.0",
+            "-T", "5", "--log", str(log), "--batch", "64",
+            "--max-frames", "128", "--min-errors", "1",
+            "--min-word-errors", "1",
+        ]
+    )
+    assert rc == 0
+    rows = log.read_text().strip().splitlines()
+    assert len(rows) == 2  # two SNR points
+    cols = rows[0].split("\t")
+    assert cols[0] == "3" and cols[4] == "5" and cols[5] == "peg_96_48"
+
+
+def test_sweep_gdbf_preset_and_alist(tmp_path):
+    a = peg(48, 24, 3, seed=9)
+    ap = tmp_path / "c.alist"
+    save_alist(a, str(ap))
+    log = tmp_path / "g.log"
+    rc = sweep_main(
+        [
+            "gdbf", "--preset", "SMNGDBF", "--alist", str(ap),
+            "--snr", "4.0", "-T", "20", "--theta", "-0.9",
+            "--noise-scale", "0.9", "--lam", "0.98", "--alpha", "1.5",
+            "--ymax", "2.5", "--window", "8",
+            "--log", str(log), "--batch", "64", "--max-frames", "64",
+            "--min-errors", "1", "--min-word-errors", "1",
+        ]
+    )
+    assert rc == 0
+    cols = log.read_text().strip().split("\t")
+    # SNR BER avgIters WER totalBits totalWords T theta noiseScale lambda
+    # alpha smoothingUsed ratio windowsize Ymax alist
+    assert len(cols) == 16
+    assert cols[6] == "20" and cols[7] == "-0.9"
+
+
+def test_sweep_ngdbfhw_writes_itdist(tmp_path):
+    log = tmp_path / "hw.log"
+    rc = sweep_main(
+        [
+            "ngdbfhw", "--code", "peg_96_48", "--snr", "5.0",
+            "-T", "30", "--w", "0.2", "--ymax", "2.0",
+            "--noise-scale", "0.8", "--theta0", "-0.6",
+            "--log", str(log), "--batch", "32", "--frames", "64",
+        ]
+    )
+    assert rc == 0
+    assert len(log.read_text().strip().split("\t")) == 16
+    itdist = tmp_path / "hw.log_5_itdist.dat"
+    assert itdist.exists()
+    lines = itdist.read_text().strip().splitlines()
+    v0 = float(lines[0].split("\t")[1])
+    assert v0 == 1.0  # every frame uses >= 0 iterations
+
+
+@pytest.fixture(scope="module")
+def tcode():
+    return make_regular_code(48, 24, 3, seed=4)
+
+
+def test_replay_channel_deterministic(tcode):
+    sigma = 0.5
+    y1, k1 = replay_channel(tcode, seed=7, batch_index=3, frame_index=5,
+                            batch_size=16, sigma=sigma)
+    y2, _ = replay_channel(tcode, seed=7, batch_index=3, frame_index=5,
+                           batch_size=16, sigma=sigma)
+    np.testing.assert_array_equal(y1, y2)
+    y3, _ = replay_channel(tcode, seed=7, batch_index=3, frame_index=6,
+                           batch_size=16, sigma=sigma)
+    assert (y1 != y3).any()
+
+
+def test_trace_gdbf_and_imaging(tcode, tmp_path, rng):
+    sigma = float(snr_to_sigma(3.0, 0.5))
+    yq = np.clip(1 + sigma * rng.normal(size=tcode.n), -2.5, 2.5)
+    cfg = preset("MNGDBF", num_iterations=15, theta=-0.8, noise_scale=0.9,
+                 alpha=1.5)
+    tr = trace_gdbf(tcode, yq, sigma, cfg, key=jax.random.key(0))
+    assert tr.decisions.shape[1] == tcode.n
+    assert tr.syndromes.shape[1] == tcode.m
+    assert tr.decisions.shape[0] == tr.syndromes.shape[0]
+    # row 0 is the channel hard decision
+    np.testing.assert_array_equal(tr.decisions[0], np.where(yq > 0, 1, -1))
+    if tr.satisfied:
+        assert (tr.syndromes[-1] == 1).all()
+    tp = tmp_path / "t.trace"
+    write_trace(tr, str(tp))
+    assert tp.read_text().startswith("d ")
+    # imaging
+    errs = decisions_to_errors(tr.decisions, np.ones(tcode.n))
+    png = tmp_path / "e.png"
+    error_matrix_png(errs, str(png))
+    assert png.stat().st_size > 100
+    et = tmp_path / "e.err"
+    error_count_trace(errs, str(et))
+    assert len(et.read_text().splitlines()) == errs.shape[0]
+
+
+def test_redecode_statistics(tcode, tmp_path):
+    cfg = preset("SMNGDBF", num_iterations=25, theta=-0.8, noise_scale=0.9,
+                 alpha=1.5, window_size=8)
+    with open(tmp_path / "rs.log", "w") as f:
+        out = redecode_statistics(
+            tcode, cfg, snr_db=3.0, num_frames=6, num_redecodes=8,
+            seed=11, log=f,
+        )
+    assert out.shape == (6, 8)
+    rows = (tmp_path / "rs.log").read_text().strip().splitlines()
+    assert len(rows) == 6
+    assert rows[0].split("\t")[0] == "0"
+    # attempts on the same frame must differ sometimes when noisy decode
+    # fails (frame-specific Pe) — at least the outcomes are not all equal
+    # across frames
+    assert len({tuple(r) for r in out}) > 1
