@@ -354,3 +354,71 @@ def ngdbf_hw_decode(
         least_errors=least_errs,
         satisfied=satisfied,
     )
+
+
+def quantize_threshold_table_py(x, ymax, nq):
+    """SystemC ldpcsim.h:85-118 quantizer, scalar."""
+    delta = 2.0 * ymax / (nq - 1.0)
+    k = 0
+    for i in range(nq - 1):
+        thresh = -ymax * (nq - 2.0) / (nq - 1.0) + i * delta
+        if x > thresh:
+            k = i + 1
+    return -ymax + k * delta
+
+
+def ngdbf_systemc_decode(
+    a: Alist,
+    y,
+    noise_stream,
+    T: int,
+    theta: float,
+    lam: float,
+    alpha: float,
+    ymax: float,
+    nq: int,
+    smoothed: bool = True,
+    window: int = 32,
+):
+    """SystemC NGDBF semantics, single frame (nodes.h/decoder.h)."""
+    n, m = a.n, a.m
+    qz = lambda v: quantize_threshold_table_py(v, ymax, nq)
+    r = [qz(float(v)) for v in y]
+    x = [1 if v > 0 else -1 for v in r]
+    w = [alpha * ymax / len(a.nlist[i]) for i in range(n)]
+    gq = [qz(float(v)) for v in noise_stream]
+    local_theta = [theta] * n
+    updown = [0] * n
+    iters = T
+    satisfied = False
+    k = 0
+    while k < T:
+        syn = []
+        satisfied = True
+        for c in range(m):
+            prod = 1
+            for v in a.mlist[c]:
+                prod *= x[v]
+            if prod < 0:
+                satisfied = False
+            syn.append(prod)
+        if satisfied:
+            iters = k
+            break
+        for i in range(n):
+            rnd = gq[(n - 1 - i) + k]
+            e = x[i] * r[i] + rnd
+            for c in a.nlist[i]:
+                e += w[i] * syn[c]
+            if e < qz(local_theta[i]):
+                x[i] = -x[i]
+                local_theta[i] /= lam
+            else:
+                local_theta[i] *= lam
+        if smoothed and (k + 1) > (T - window):
+            for i in range(n):
+                updown[i] += x[i]
+        k += 1
+    if smoothed and not satisfied:
+        x = [1 if updown[i] > 0 else -1 for i in range(n)]
+    return dict(d=x, iterations=iters, satisfied=satisfied)
