@@ -40,6 +40,7 @@ def peg(
     m: int,
     dv: int | Sequence[int],
     seed: int = 0,
+    backend: str = "auto",
 ) -> Alist:
     """Progressive-Edge-Growth construction of an (n, m) binary LDPC code.
 
@@ -49,9 +50,18 @@ def peg(
     (preferring unreachable checks), breaking ties by minimum current check
     degree, then by seeded random choice.
 
-    Deterministic given (n, m, dv, seed).  Returns an :class:`Alist` whose
-    per-node adjacency is in placement order (ascending within each column).
+    Deterministic given (n, m, dv, seed, backend).  Returns an
+    :class:`Alist` whose per-node adjacency is ascending within each column.
+
+    backend: "python" | "native" | "auto" — "native" uses the C++ tier
+    (ldpcsimulation_tpu.native, ~25x faster, independent RNG stream);
+    "auto" picks native for n > 2000 when the library is buildable.
     """
+    if isinstance(dv, int) and backend in ("native", "auto"):
+        from .. import native as _native
+
+        if backend == "native" or (n > 2000 and _native.available()):
+            return _native.peg_native(n, m, dv, seed=seed)
     rng = np.random.default_rng(seed)
     dv_list = [dv] * n if isinstance(dv, int) else list(dv)
     if len(dv_list) != n:
