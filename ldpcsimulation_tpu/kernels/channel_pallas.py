@@ -1,0 +1,73 @@
+"""Pallas TPU kernel: fused AWGN channel generation.
+
+Generates BPSK+AWGN channel samples entirely on-chip — per-core PRNG bits
+-> Box–Muller Gaussians -> ``x·(1 + σn)`` — writing each batch tile once.
+
+Measured on v5e at 8192×1008 f32: 2.6 ms vs 2.1 ms for the XLA threefry
+path (``jax.random.normal``) — Box–Muller's log/cos transcendentals
+dominate and XLA's RNG is already well scheduled, so this kernel is kept as
+the Pallas reference implementation rather than the default: the framework's
+hot path stays on the XLA channel, whose keys also line up with the
+harness's replay coordinates.
+
+The stream is seeded per (seed, tile) — deterministic and replayable at
+tile granularity, but it is a *different* RNG stream than `jax.random`;
+simulations that must replay against harness.simulate coordinates should
+use the XLA channel (the default everywhere except the throughput bench).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["awgn_all_zero_pallas"]
+
+
+def _kernel(seed_ref, o_ref, *, sigma: float):
+    pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+    shape = o_ref.shape
+    b1 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    b2 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    # 24-bit mantissa uniforms in (0, 1): (k + 0.5) * 2^-24; the uint->int
+    # cast is exact because the value fits in 24 bits
+    k1 = (b1 >> 8).astype(jnp.int32)
+    k2 = (b2 >> 8).astype(jnp.int32)
+    u1 = (k1.astype(jnp.float32) + 0.5) * jnp.float32(2.0 ** -24)
+    u2 = (k2.astype(jnp.float32) + 0.5) * jnp.float32(2.0 ** -24)
+    r = jnp.sqrt(-2.0 * jnp.log(u1))
+    n = r * jnp.cos(jnp.float32(2.0 * math.pi) * u2)
+    o_ref[:] = 1.0 + jnp.float32(sigma) * n
+
+
+@functools.partial(
+    jax.jit, static_argnames=("batch", "n", "sigma", "tile")
+)
+def awgn_all_zero_pallas(
+    seed, batch: int, n: int, sigma: float, tile: int = 256
+):
+    """[batch, n] AWGN samples of the all-(+1) BPSK word, y = 1 + σ·n.
+
+    seed: int32 scalar (array or python int).  batch must divide by tile.
+    """
+    if batch % tile:
+        raise ValueError(f"batch {batch} not divisible by tile {tile}")
+    seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
+    grid = (batch // tile,)
+    return pl.pallas_call(
+        functools.partial(_kernel, sigma=sigma),
+        out_shape=jax.ShapeDtypeStruct((batch, n), jnp.float32),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[],
+            out_specs=pl.BlockSpec(
+                (tile, n), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
+            ),
+        ),
+    )(seed_arr)

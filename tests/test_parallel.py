@@ -1,0 +1,102 @@
+"""Distributed mesh Monte-Carlo: counters step, sweep driver, scaling."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ldpcsimulation_tpu.codes import make_regular_code
+from ldpcsimulation_tpu.decoders.minsum import decode_minsum
+from ldpcsimulation_tpu.harness import StopRule
+from ldpcsimulation_tpu.parallel.mesh import make_counters_step, make_mesh
+from ldpcsimulation_tpu.parallel.montecarlo import (
+    measure_scaling_efficiency,
+    simulate_distributed,
+)
+
+
+@pytest.fixture(scope="module")
+def pcode():
+    return make_regular_code(96, 48, 3, seed=0)
+
+
+def _decode(code):
+    return lambda y, sigma, key: decode_minsum(
+        code, y, 10, early_termination=True
+    )
+
+
+def test_mesh_shapes():
+    mesh = make_mesh(n_snr=2)
+    assert mesh.shape["snr"] == 2 and mesh.shape["data"] == 4
+    with pytest.raises(ValueError):
+        make_mesh(n_snr=3)
+
+
+def test_counters_step(pcode):
+    mesh = make_mesh(n_snr=2)
+    step = make_counters_step(
+        pcode, _decode(pcode), mesh, sigmas=[0.8, 0.4],
+        batch_per_device=8, max_iterations=10,
+    )
+    bits = jnp.zeros((2, step.batch_global, pcode.n), jnp.uint8)
+    out = step(jax.random.key(0), bits)
+    words = np.asarray(out["words"])
+    assert words.tolist() == [32, 32]
+    # noisier point has more errors
+    errs = np.asarray(out["errors"])
+    assert errs[0] > errs[1]
+    # histogram consistency: error-weight histogram sums to word count
+    ewh = np.asarray(out["error_weight_hist"])
+    assert ewh.sum(axis=1).tolist() == [32, 32]
+    assert (ewh[:, 1:] * np.arange(1, pcode.n + 1)).sum(axis=1).tolist() == errs.tolist()
+    ith = np.asarray(out["iteration_hist"])
+    assert ith.sum(axis=1).tolist() == [32, 32]
+
+
+def test_counters_step_deterministic(pcode):
+    mesh = make_mesh(n_snr=1)
+    step = make_counters_step(
+        pcode, _decode(pcode), mesh, sigmas=[0.6],
+        batch_per_device=16, max_iterations=10,
+    )
+    bits = jnp.zeros((1, step.batch_global, pcode.n), jnp.uint8)
+    o1 = step(jax.random.key(3), bits)
+    o2 = step(jax.random.key(3), bits)
+    assert int(o1["errors"][0]) == int(o2["errors"][0])
+    o3 = step(jax.random.key(4), bits)
+    # different key -> different noise (overwhelmingly likely different)
+    assert int(o3["uncoded_errors"][0]) != int(o1["uncoded_errors"][0])
+
+
+def test_simulate_distributed(pcode):
+    mesh = make_mesh(n_snr=2)
+    stats = simulate_distributed(
+        pcode,
+        _decode(pcode),
+        snrs_db=[1.0, 4.0],
+        mesh=mesh,
+        stop=StopRule(min_bit_errors=30, min_word_errors=3, max_frames=4096),
+        batch_per_device=32,
+        max_iterations=10,
+        seed=5,
+    )
+    assert len(stats) == 2
+    lo, hi = stats
+    assert lo.ber > hi.ber  # 1 dB much worse than 4 dB
+    assert lo.errors >= 30 or lo.total_words >= 4096
+    for s in stats:
+        assert s.total_bits == s.total_words * pcode.n
+        weighted = (np.arange(1, pcode.n + 1) * s.error_weight_hist).sum()
+        assert weighted == s.errors
+        assert s.iteration_hist.sum() == s.total_words
+
+
+def test_measure_scaling(pcode):
+    res = measure_scaling_efficiency(
+        pcode, _decode(pcode), snr_db=3.0,
+        device_counts=[1, 8], batch_per_device=16, max_iterations=10,
+        repeats=2,
+    )
+    assert set(res) == {1, 8}
+    assert all(v > 0 for v in res.values())
