@@ -1,0 +1,35 @@
+"""Decoder algorithms (see each module for reference citations)."""
+
+from .base import DecodeResult, check_satisfied, syndrome_from_hard
+from .bp import decode_bp
+from .ddbmp import decode_ddbmp
+from .gdbf import GDBFConfig, GDBFResult, PRESETS, decode_gdbf, preset
+from .minsum import decode_minsum
+from .minsum_layered import decode_minsum_layered_qc
+from .minsum_qc import decode_minsum_qc
+from .nb_qspa import NBDecodeResult, decode_nb_qspa
+from .ngdbf_hw import NGDBFHwConfig, NGDBFHwResult, decode_ngdbf_hw
+from .ngdbf_systemc import SystemCNGDBFConfig, decode_ngdbf_systemc
+
+__all__ = [
+    "DecodeResult",
+    "check_satisfied",
+    "syndrome_from_hard",
+    "decode_bp",
+    "decode_ddbmp",
+    "GDBFConfig",
+    "GDBFResult",
+    "PRESETS",
+    "decode_gdbf",
+    "preset",
+    "decode_minsum",
+    "decode_minsum_layered_qc",
+    "decode_minsum_qc",
+    "NBDecodeResult",
+    "decode_nb_qspa",
+    "NGDBFHwConfig",
+    "NGDBFHwResult",
+    "decode_ngdbf_hw",
+    "SystemCNGDBFConfig",
+    "decode_ngdbf_systemc",
+]

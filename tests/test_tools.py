@@ -146,3 +146,41 @@ def test_redecode_statistics(tcode, tmp_path):
     # fails (frame-specific Pe) — at least the outcomes are not all equal
     # across frames
     assert len({tuple(r) for r in out}) > 1
+
+
+def test_msg_trace(tcode, rng):
+    from ldpcsimulation_tpu.tools.msg_trace import trace_soft_decoder
+
+    sigma = 0.7
+    y = 1 + sigma * rng.normal(size=tcode.n)
+    truth = np.ones(tcode.n)
+    tr = trace_soft_decoder(tcode, y, truth, num_iterations=4,
+                            algorithm="minsum")
+    assert len(tr.decisions) == 4
+    # message errors should not increase from iteration 1 to the last on a
+    # decodable frame; at minimum shapes are sane
+    assert tr.v2c_sign_errors[0].shape == (tcode.n, 3)
+    assert tr.checks_with_errors[0].shape == (tcode.m,)
+    # consistency: per-check error counts equal total v2c errors
+    assert tr.checks_with_errors[-1].sum() == tr.v2c_sign_errors[-1].sum()
+    tr_bp = trace_soft_decoder(tcode, 4 * y, truth, num_iterations=2,
+                               algorithm="bp")
+    assert len(tr_bp.decisions) == 2
+
+
+def test_prob_combinations():
+    from ldpcsimulation_tpu.tools.prob_combinations import (
+        enumerate_probabilities,
+        nearest_levels,
+    )
+
+    levels = enumerate_probabilities(max_bits=5, max_ops=3)
+    assert 0.0 in levels and 1.0 in levels
+    assert 0.0625 in levels and 0.25 in levels  # primitive streams
+    # the stochastic-NGDBF hardware table values (decodeGDBF.cpp:564-575,
+    # themselves rounded decimals) are realizable to their printed precision
+    from ldpcsimulation_tpu.decoders.gdbf import PR_LEVELS
+
+    for p in PR_LEVELS:
+        snapped = nearest_levels([p], levels)[0][1]
+        assert abs(snapped - p) < 5e-3, (p, snapped)
