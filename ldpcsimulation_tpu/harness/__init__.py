@@ -26,3 +26,4 @@ __all__ = [
     "load_codeword_file",
     "save_codeword_file",
 ]
+from .montecarlo_nb import NBMCStats, simulate_nb  # noqa: F401,E402

@@ -44,6 +44,7 @@ from ..harness import (
     append_row,
     bp_log_row,
     default_min_word_errors,
+    fmt,
     gdbf_log_row,
     minsum_log_row,
     ngdbfhw_log_row,
@@ -108,6 +109,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--theta0", type=float, nargs="+", default=[None])
     p.add_argument("--frames", type=int, default=10000,
                    help="fixed frame count for ngdbfhw")
+    p.add_argument(
+        "--resume", action="store_true",
+        help="skip grid points whose SNR already has a row in the log "
+             "(the reference's interrupted-sweep recovery: append-only "
+             "logs, idempotent rows keyed by operating point)",
+    )
     return p
 
 
@@ -160,7 +167,22 @@ def main(argv: Optional[List[str]] = None) -> int:
             args.theta, args.noise_scale, args.lam, args.w, args.theta0,
         )
     )
+    done_keys = set()
+    if args.resume:
+        try:
+            with open(args.log) as f:
+                for line in f:
+                    cols = line.split("\t")
+                    if cols:
+                        done_keys.add(cols[0])
+        except FileNotFoundError:
+            pass
     for (snr, ymax, nq, alpha, delta, theta, nscale, lam, w, theta0) in grid:
+        if args.resume and fmt(snr) in done_keys:
+            rows += 1
+            print(f"[{rows}/{len(grid)}] SNR={snr} already logged, skipping",
+                  file=sys.stderr)
+            continue
         n0 = float(snr_to_n0(snr, rate))
         sigma = float(snr_to_sigma(snr, rate))
         if args.decoder == "bp":

@@ -213,3 +213,22 @@ def test_nb_uncoded_worse_than_decoded(rng):
     res = decode_nb_qspa(code, pri, num_iterations=20)
     dec_errs = int((np.asarray(res.symbols) != 0).sum())
     assert dec_errs < raw_errs
+
+
+def test_simulate_nb_gf4():
+    from ldpcsimulation_tpu.codes import build_code
+    from ldpcsimulation_tpu.harness.montecarlo import StopRule
+    from ldpcsimulation_tpu.harness.montecarlo_nb import simulate_nb
+
+    code = build_code(nb_regular(48, 24, 3, q=4, seed=6))
+    stats = simulate_nb(
+        code, snr_db=4.0, num_iterations=20,
+        stop=StopRule.fixed_frames(64), batch_size=32, seed=1,
+    )
+    assert stats.total_words == 64
+    assert stats.total_bits == 64 * 48 * 2
+    assert stats.ser <= stats.uncoded_symbol_errors / stats.total_symbols
+    assert stats.ber < 0.05
+    assert 0 < stats.avg_iterations <= 20
+    # decoded symbol errors never exceed bit errors x m and >= bit errs / m
+    assert stats.bit_errors <= 2 * stats.symbol_errors
