@@ -1,0 +1,139 @@
+"""Gather-free sum-product BP for quasi-cyclic codes.
+
+Same arithmetic as :mod:`.bp` (phi-domain CN update, exact prefix/suffix
+extrinsic exclusion, ±MAXLLR VN clamp) with the QC per-block static-roll
+message routing of :mod:`.minsum_qc` — the BASELINE "(1008,504) BP with
+early syndrome termination" configuration at the QC decoder's speed.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..codes.qc import QCCode
+from .base import DecodeResult, sgn_pos
+from .bp import MAXLLR, _phi
+from .minsum_qc import _vn_slot_index, qc_check_satisfied
+
+__all__ = ["decode_bp_qc"]
+
+
+def qc_cn_bp(qc: QCCode, v2c):
+    """Sum-product CN update, [Nb, dv_max, z, B] -> same shape (VN layout)."""
+    z = qc.z
+    dtype = v2c.dtype
+    b = v2c.shape[-1]
+    table = _vn_slot_index(qc)
+
+    c2v_slots = [[None] * len(qc.vn_blocks[bj]) for bj in range(qc.nb)]
+    for bi in range(qc.mb):
+        views = [
+            jnp.roll(v2c[bj, s], -shift, axis=0)
+            for (bj, s, shift) in table[bi]
+        ]
+        mags = [_phi(jnp.abs(v)) for v in views]
+        signs = [sgn_pos(v) for v in views]
+        dc = len(views)
+        zeros = jnp.zeros((z, b), dtype)
+        ones = jnp.ones((z, b), dtype)
+        pre_m, pre_s = [zeros], [ones]
+        for t in range(dc - 1):
+            pre_m.append(pre_m[-1] + mags[t])
+            pre_s.append(pre_s[-1] * signs[t])
+        suf_m, suf_s = [zeros], [ones]
+        for t in range(dc - 1, 0, -1):
+            suf_m.append(suf_m[-1] + mags[t])
+            suf_s.append(suf_s[-1] * signs[t])
+        suf_m.reverse()
+        suf_s.reverse()
+        for t in range(dc):
+            out = (pre_s[t] * suf_s[t]) * _phi(pre_m[t] + suf_m[t])
+            bj, s, shift = table[bi][t]
+            c2v_slots[bj][s] = jnp.roll(out, shift, axis=0)
+
+    zero = jnp.zeros((z, b), dtype)
+    planes = []
+    for bj in range(qc.nb):
+        slots = list(c2v_slots[bj]) + [zero] * (
+            qc.dv_max - len(c2v_slots[bj])
+        )
+        planes.append(jnp.stack(slots))
+    return jnp.stack(planes)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("qc", "num_iterations", "early_termination"),
+)
+def decode_bp_qc(
+    qc: QCCode,
+    llr: jax.Array,
+    num_iterations: int,
+    max_llr: float = MAXLLR,
+    early_termination: bool = False,
+) -> DecodeResult:
+    """Batched flooding sum-product on a QC code.  llr: [B, N]."""
+    llr_t = jnp.asarray(llr).T
+    n, b = llr_t.shape
+    assert n == qc.n
+    yb = llr_t.reshape(qc.nb, qc.z, b)
+    dv_max = qc.dv_max
+    v2c0 = jnp.broadcast_to(yb[:, None], (qc.nb, dv_max, qc.z, b)).astype(
+        llr_t.dtype
+    )
+    valid = jnp.asarray(
+        [
+            [s < len(qc.vn_blocks[bj]) for s in range(dv_max)]
+            for bj in range(qc.nb)
+        ]
+    )[:, :, None, None]
+
+    def one_iteration(v2c):
+        c2v = qc_cn_bp(qc, v2c)
+        total = yb + jnp.sum(c2v, axis=1)
+        v2c_new = jnp.clip(total[:, None] - c2v, -max_llr, max_llr)
+        v2c_new = jnp.where(valid, v2c_new, jnp.zeros_like(v2c_new))
+        d = jnp.where(total > 0, 1, -1).astype(jnp.int32)
+        return v2c_new, d
+
+    if not early_termination:
+        d0 = jnp.where(yb > 0, 1, -1).astype(jnp.int32)
+
+        def body(_, carry):
+            v2c, _d = carry
+            return one_iteration(v2c)
+
+        _v2c, d = jax.lax.fori_loop(0, num_iterations, body, (v2c0, d0))
+        return DecodeResult(
+            hard=d.reshape(n, b).T,
+            iterations=jnp.full((b,), num_iterations, jnp.int32),
+            satisfied=qc_check_satisfied(qc, d),
+        )
+
+    d0 = jnp.where(yb > 0, 1, -1).astype(jnp.int32)
+    done0 = qc_check_satisfied(qc, d0)
+    iters0 = jnp.zeros((b,), jnp.int32)
+
+    def cond(carry):
+        t, _v2c, _d, _iters, done = carry
+        return (t < num_iterations) & ~jnp.all(done)
+
+    def body(carry):
+        t, v2c, d, iters, done = carry
+        v2c_new, d_new = one_iteration(v2c)
+        act = ~done
+        v2c = jnp.where(act[None, None, None, :], v2c_new, v2c)
+        d = jnp.where(act[None, None, :], d_new, d)
+        iters = jnp.where(act, t + 1, iters)
+        done = done | qc_check_satisfied(qc, d)
+        return (t + 1, v2c, d, iters, done)
+
+    _t, _v2c, d, iters, done = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), v2c0, d0, iters0, done0)
+    )
+    return DecodeResult(
+        hard=d.reshape(n, b).T, iterations=iters, satisfied=done
+    )

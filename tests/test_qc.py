@@ -118,3 +118,19 @@ def test_qc_flagship_registry():
     gram = h.T @ h
     np.fill_diagonal(gram, 0)
     assert gram.max() <= 1
+
+
+def test_bp_qc_bitexact_vs_generic(small_qc, rng):
+    from ldpcsimulation_tpu.decoders.bp import decode_bp
+    from ldpcsimulation_tpu.decoders.bp_qc import decode_bp_qc
+
+    qc = small_qc
+    code = qc.to_code()
+    llr = np.clip(rng.normal(0, 3.0, size=(12, qc.n)), -20, 20)
+    for et in (False, True):
+        r1 = decode_bp(code, jnp.asarray(llr), 8, early_termination=et)
+        r2 = decode_bp_qc(qc, jnp.asarray(llr), 8, early_termination=et)
+        np.testing.assert_array_equal(np.asarray(r1.hard), np.asarray(r2.hard))
+        np.testing.assert_array_equal(
+            np.asarray(r1.iterations), np.asarray(r2.iterations)
+        )
