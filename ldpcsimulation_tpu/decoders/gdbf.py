@@ -55,7 +55,9 @@ import jax
 import jax.numpy as jnp
 
 from ..codes.code import Code
+from ..codes.qc import QCCode
 from .base import syndrome_from_hard
+from .qc_ops import qc_syndrome_bipolar, qc_syndrome_sum_per_vn
 
 __all__ = ["GDBFConfig", "GDBFResult", "decode_gdbf", "PRESETS", "preset"]
 
@@ -161,7 +163,7 @@ def _syndrome_sum_per_vn(code: Code, syn: jax.Array) -> jax.Array:
     return jnp.sum(g, axis=1)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+@functools.partial(jax.jit, static_argnames=("cfg", "qc"))
 def decode_gdbf(
     code: Code,
     yq: jax.Array,
@@ -169,6 +171,7 @@ def decode_gdbf(
     cfg: GDBFConfig,
     key: Optional[jax.Array] = None,
     perturbations: Optional[jax.Array] = None,
+    qc: Optional[QCCode] = None,
 ) -> GDBFResult:
     """Batched GDBF-family decode.
 
@@ -180,7 +183,12 @@ def decode_gdbf(
     perturbations: optional [max_phases*T, N, B] pre-drawn perturbation
     sequence (replay/trace tooling and exact cross-validation); overrides the
     on-the-fly draw, bypassing uniform/shaping transforms.
+    qc: optional QC structure of the SAME code — switches the two graph
+    operations (syndrome, per-VN syndrome sum) to static rolls
+    (bit-identical, much faster on TPU for large codes).
     """
+    if qc is not None and (qc.n != code.n or qc.m != code.m):
+        raise ValueError("qc structure does not match code dimensions")
     if (
         (cfg.add_noise and perturbations is None) or cfg.quantize_probabilities
     ) and key is None:
@@ -249,7 +257,10 @@ def decode_gdbf(
             smooth_used = smooth_used + completed_full_phase.astype(jnp.int32)
 
         # --- syndrome check at iteration start (decodeGDBF.cpp:300-306)
-        syn = syndrome_from_hard(code, d)  # [M, B] bipolar
+        if qc is not None:
+            syn = qc_syndrome_bipolar(qc, d)  # [M, B] bipolar
+        else:
+            syn = syndrome_from_hard(code, d)
         satisfied = jnp.all(syn > 0, axis=0)
         newly = act & satisfied
         iters = jnp.where(newly, step, st["iters"])
@@ -291,11 +302,12 @@ def decode_gdbf(
                     pert = sample
 
         # --- flip metric E_i (decodeGDBF.cpp:536-560)
-        e = (
-            d.astype(dtype) * y_t
-            + w * _syndrome_sum_per_vn(code, syn)
-            + pert
+        syn_sum_vn = (
+            qc_syndrome_sum_per_vn(qc, syn.astype(dtype))
+            if qc is not None
+            else _syndrome_sum_per_vn(code, syn)
         )
+        e = d.astype(dtype) * y_t + w * syn_sum_vn + pert
 
         # --- flip decisions
         if cfg.quantize_probabilities:

@@ -215,3 +215,29 @@ def test_presets_cover_reference_binaries():
     assert cfg.weight_syndromes and cfg.output_smoothing
     assert dataclasses.asdict(cfg)["max_phases"] == 1
     assert preset("RSMNGDBF", 300, -0.9).max_phases == 7
+
+
+def test_gdbf_qc_graph_ops_bitexact(rng):
+    """decode_gdbf with QC graph ops must match the generic path exactly."""
+    from ldpcsimulation_tpu.codes.qc import qc_peg
+
+    qc = qc_peg(12, 6, 3, z=8, seed=3)
+    code = qc.to_code()
+    sigma = float(snr_to_sigma(3.5, 0.5))
+    y = np.clip(_channel(rng, 6, qc.n, sigma), -2.5, 2.5)
+    cfg = preset("SMNGDBF", num_iterations=15, theta=-0.8, noise_scale=0.9,
+                 lam=0.98, alpha=1.5, window_size=6)
+    steps = cfg.max_phases * cfg.num_iterations
+    pert = rng.normal(0.0, sigma * 0.9, size=(steps, 6, qc.n))
+    pj = jnp.asarray(np.swapaxes(pert, 1, 2))
+    r1 = decode_gdbf(code, jnp.asarray(y), sigma, cfg,
+                     key=jax.random.key(0), perturbations=pj)
+    r2 = decode_gdbf(code, jnp.asarray(y), sigma, cfg,
+                     key=jax.random.key(0), perturbations=pj, qc=qc)
+    np.testing.assert_array_equal(np.asarray(r1.hard), np.asarray(r2.hard))
+    np.testing.assert_array_equal(
+        np.asarray(r1.iterations), np.asarray(r2.iterations)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(r1.smoothing_used), np.asarray(r2.smoothing_used)
+    )
