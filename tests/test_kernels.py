@@ -31,3 +31,29 @@ def test_awgn_kernel_tile_independence():
     assert not np.allclose(t0, t1)
     # no degenerate constant rows
     assert (y.std(axis=1) > 0.5).all()
+
+
+def test_minsum_cn_scan_pallas_bitexact(rng):
+    """Pallas CN scan == XLA CN update, bit for bit (runs on TPU; the CPU
+    interpreter path is exercised if supported, else skipped)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ldpcsimulation_tpu.codes import make_regular_code
+    from ldpcsimulation_tpu.decoders.base import gather_cn
+    from ldpcsimulation_tpu.decoders.minsum import minsum_cn_update
+    from ldpcsimulation_tpu.kernels.minsum_pallas import minsum_cn_scan_pallas
+
+    code = make_regular_code(96, 48, 3, seed=0)
+    v2c = jnp.asarray(
+        rng.normal(size=(code.n * code.dv_max, 128)), jnp.float32
+    )
+    g = gather_cn(code, v2c)
+    try:
+        out_pl = np.asarray(minsum_cn_scan_pallas(g, code.cn_mask))
+    except Exception as e:
+        pytest.skip(f"pallas unsupported on this backend: {e}")
+    out_xla = np.asarray(minsum_cn_update(code, v2c)).reshape(
+        code.m, code.dc_max, 128
+    )
+    np.testing.assert_array_equal(out_pl, out_xla)
