@@ -33,3 +33,4 @@ __all__ = [
     "SystemCNGDBFConfig",
     "decode_ngdbf_systemc",
 ]
+from .nb_minsum import decode_nb_minsum  # noqa: F401,E402
