@@ -1,0 +1,203 @@
+"""Measure on-device throughput of every decoder family -> docs/PERF.md.
+
+Methodology matches bench.py: jitted mega-steps (channel + decode + count
+rounds inside lax.fori_loop), every call synchronized by fetching its
+scalar result, median over keyed repeats.  Numbers are per single chip.
+
+    python -m ldpcsimulation_tpu.tools.perf_report --out docs/PERF.md
+"""
+
+from __future__ import annotations
+
+import argparse
+import statistics
+import sys
+import time
+from typing import Callable, List, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def _measure(step: Callable, repeats: int = 3) -> float:
+    key = jax.random.key(0)
+    int(step(key))  # compile + warm
+    ts = []
+    for i in range(repeats):
+        t0 = time.perf_counter()
+        int(step(jax.random.fold_in(key, 1 + i)))
+        ts.append(time.perf_counter() - t0)
+    return statistics.median(ts)
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--out", default=None)
+    p.add_argument("--repeats", type=int, default=3)
+    args = p.parse_args(argv)
+
+    from ..channel.awgn import awgn, llr_from_channel, snr_to_n0, snr_to_sigma
+    from ..channel.nb import symbol_priors
+    from ..codes import build_code
+    from ..codes.construct import nb_regular
+    from ..codes.library import load_named_code, load_named_qc
+    from ..decoders.bp import decode_bp
+    from ..decoders.bp_qc import decode_bp_qc
+    from ..decoders.ddbmp import decode_ddbmp
+    from ..decoders.gdbf import decode_gdbf, preset
+    from ..decoders.minsum import decode_minsum
+    from ..decoders.minsum_layered import decode_minsum_layered_qc
+    from ..decoders.minsum_qc import decode_minsum_qc
+    from ..decoders.nb_qspa import decode_nb_qspa
+    from ..decoders.ngdbf_hw import NGDBFHwConfig, decode_ngdbf_hw
+
+    qc = load_named_qc("qc_1008_504")
+    gen = load_named_code("peg_1008_504")
+    rows = []
+
+    def mega(b, rounds, fn):
+        @jax.jit
+        def step(key):
+            def body(i, acc):
+                return acc + fn(jax.random.fold_in(key, i), b)
+            return jax.lax.fori_loop(0, rounds, body, jnp.int32(0))
+        return step, b * rounds
+
+    def record(label, code_n, info_k, step, frames, iters):
+        # the remote compile helper occasionally crashes; retry once and
+        # skip the row rather than aborting the whole report
+        for attempt in range(2):
+            try:
+                dt = _measure(step, args.repeats)
+                break
+            except Exception as e:  # pragma: no cover - infra flake
+                print(f"{label}: attempt {attempt} failed: {e}",
+                      file=sys.stderr)
+                time.sleep(5)
+        else:
+            rows.append((label, iters, frames, None, None))
+            return
+        bits = frames * info_k / dt
+        rows.append((label, iters, frames, dt, bits))
+        print(f"{label}: {dt*1e3:.0f} ms, {bits/1e6:.1f} Mb/s", file=sys.stderr)
+
+    snr, rate = 2.0, 0.5
+    sigma = float(snr_to_sigma(snr, rate))
+    n0 = float(snr_to_n0(snr, rate))
+
+    # min-sum flagship (QC + f16 storage)
+    step, frames = mega(16384, 8, lambda k, b: jnp.sum(
+        decode_minsum_qc(
+            qc, awgn(k, jnp.ones((b, qc.n), jnp.float32), sigma),
+            10, storage_dtype=jnp.float16,
+        ).hard != 1))
+    record("min-sum T=10, QC f16 (flagship)", qc.n, 504, step, frames, 10)
+
+    # min-sum generic gather path
+    step, frames = mega(8192, 4, lambda k, b: jnp.sum(
+        decode_minsum(
+            gen, awgn(k, jnp.ones((b, gen.n), jnp.float32), sigma), 10
+        ).hard != 1))
+    record("min-sum T=10, generic slot arrays", gen.n, 504, step, frames, 10)
+
+    # BP QC, early termination, T=30
+    step, frames = mega(8192, 4, lambda k, b: jnp.sum(
+        decode_bp_qc(
+            qc,
+            llr_from_channel(
+                awgn(k, jnp.ones((b, qc.n), jnp.float32), sigma), n0
+            ),
+            30, early_termination=True,
+        ).hard != 1))
+    record("BP T<=30 (early term), QC", qc.n, 504, step, frames, 30)
+
+    # layered min-sum T=10 (converges ~2x faster per iteration count)
+    step, frames = mega(8192, 4, lambda k, b: jnp.sum(
+        decode_minsum_layered_qc(
+            qc, awgn(k, jnp.ones((b, qc.n), jnp.float32), sigma), 10
+        ).hard != 1))
+    record("layered min-sum T=10, QC", qc.n, 504, step, frames, 10)
+
+    # SM-NGDBF with QC graph ops, T=100 at its operating point
+    snr_g = 3.25
+    sigma_g = float(snr_to_sigma(snr_g, rate))
+    cfg_g = preset("SMNGDBF", num_iterations=100, theta=-0.9,
+                   noise_scale=0.975, lam=0.988, alpha=2.3, window_size=64)
+    step, frames = mega(4096, 4, lambda k, b: jnp.sum(
+        decode_gdbf(
+            qc.to_code(),
+            jnp.clip(awgn(k, jnp.ones((b, qc.n), jnp.float32), sigma_g),
+                     -2.5, 2.5),
+            sigma_g, cfg_g, key=jax.random.fold_in(k, 99), qc=qc,
+        ).hard != 1))
+    record("SM-NGDBF T<=100 @3.25dB, QC ops", qc.n, 504, step, frames, 100)
+
+    # NGDBFhw fixed point, 802.3an class, T=200 at 4.25 dB
+    hw_code = load_named_code("highrate_2048_384")
+    cfg_hw = NGDBFHwConfig(num_iterations=200, ring_len=2648)
+    sigma_hw = float(snr_to_sigma(4.25, 0.8413))
+    step, frames = mega(2048, 2, lambda k, b: jnp.sum(
+        decode_ngdbf_hw(
+            hw_code, awgn(k, jnp.ones((b, hw_code.n), jnp.float32), sigma_hw),
+            sigma_hw, cfg_hw, key=jax.random.fold_in(k, 98),
+        ).least_errors))
+    record("NGDBFhw T<=200 (2048,1664-class)", hw_code.n, 1664, step, frames, 200)
+
+    # DD-BMP T=50 on MacKay-class (4000,2000)
+    dd_code = load_named_code("reg4_4000_2000")
+    sigma_d = float(snr_to_sigma(3.9, 0.5))
+    from ..channel.quantize import quantize_no_zero
+    step, frames = mega(2048, 2, lambda k, b: jnp.sum(
+        decode_ddbmp(
+            dd_code,
+            quantize_no_zero(
+                awgn(k, jnp.ones((b, dd_code.n), jnp.float32), sigma_d),
+                1.5, 8.0,
+            ),
+            50,
+        ).hard != 1))
+    record("DD-BMP T<=50 (4000,2000) @3.9dB", dd_code.n, 2000, step, frames, 50)
+
+    # NB FFT-QSPA GF(64), (96,48) symbols, T=20
+    nb_code = build_code(nb_regular(96, 48, 3, q=64, seed=2))
+    n0_nb = float(snr_to_n0(5.5, 0.5))
+    sig_nb = float((n0_nb / 2) ** 0.5)
+    step, frames = mega(256, 2, lambda k, b: jnp.sum(
+        decode_nb_qspa(
+            nb_code,
+            symbol_priors(
+                1.0 + sig_nb * jax.random.normal(k, (b, 96, 6), jnp.float32),
+                n0_nb, 64,
+            ),
+            20,
+        ).symbols != 0))
+    record("FFT-QSPA GF(64) T<=20 (96,48)sym", 96, 48 * 6, step, frames, 20)
+
+    lines = [
+        "# Measured decoder throughput (single TPU v5e chip)",
+        "",
+        "Full pipeline per call: channel generation + decode + error count;",
+        "host-synchronized median timing (see bench.py methodology notes).",
+        "Info-bit rates use each code's design k.",
+        "",
+        "| configuration | frames/call | median ms | info Mbit/s |",
+        "|---|---|---|---|",
+    ]
+    for label, _iters, frames, dt, bits in rows:
+        if dt is None:
+            lines.append(f"| {label} | {frames} | (compile failed) | — |")
+        else:
+            lines.append(
+                f"| {label} | {frames} | {dt*1e3:.0f} | {bits/1e6:.1f} |"
+            )
+    out = "\n".join(lines) + "\n"
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(out)
+    else:
+        print(out)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

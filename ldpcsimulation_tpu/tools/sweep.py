@@ -121,8 +121,15 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv: Optional[List[str]] = None) -> int:
     args = build_parser().parse_args(argv)
 
+    qc = None
     if args.code:
-        code = load_named_code(args.code)
+        from ..codes.library import load_named_qc
+
+        try:
+            qc = load_named_qc(args.code)  # QC fast paths when available
+        except KeyError:
+            pass
+        code = qc.to_code() if qc is not None else load_named_code(args.code)
         alist_name = args.code
     else:
         code = build_code(load_alist(args.alist))
@@ -186,12 +193,18 @@ def main(argv: Optional[List[str]] = None) -> int:
         n0 = float(snr_to_n0(snr, rate))
         sigma = float(snr_to_sigma(snr, rate))
         if args.decoder == "bp":
-            stats = run_point(
-                snr,
-                lambda llr, key: decode_bp(
+            if qc is not None:
+                from ..decoders.bp_qc import decode_bp_qc
+
+                dec = lambda llr, key: decode_bp_qc(
+                    qc, llr, T, early_termination=args.early_termination
+                )
+            else:
+                dec = lambda llr, key: decode_bp(
                     code, llr, T, early_termination=args.early_termination
-                ),
-                preprocess=lambda y: llr_from_channel(y, n0),
+                )
+            stats = run_point(
+                snr, dec, preprocess=lambda y: llr_from_channel(y, n0),
             )
             row = bp_log_row(snr, stats, T, alist_name)
         elif args.decoder in ("minsum", "offsetminsum", "normalizedminsum"):
@@ -202,16 +215,23 @@ def main(argv: Optional[List[str]] = None) -> int:
                 ym = ymax if ymax is not None else 2.0
                 nql = nq if nq is not None else 8.0
                 pre = lambda y: quantize_no_zero(y, ym, nql)
-            stats = run_point(
-                snr,
-                lambda y, key: decode_minsum(
+            if qc is not None:
+                from ..decoders.minsum_qc import decode_minsum_qc
+
+                dec = lambda y, key: decode_minsum_qc(
+                    qc, y, T, variant=variant,
+                    alpha=alpha if alpha is not None else 1.0,
+                    delta=delta if delta is not None else 0.0,
+                    early_termination=args.early_termination,
+                )
+            else:
+                dec = lambda y, key: decode_minsum(
                     code, y, T, variant=variant,
                     alpha=alpha if alpha is not None else 1.0,
                     delta=delta if delta is not None else 0.0,
                     early_termination=args.early_termination,
-                ),
-                preprocess=pre,
-            )
+                )
+            stats = run_point(snr, dec, preprocess=pre)
             row = minsum_log_row(
                 snr, stats, T, alist_name,
                 ymax=ymax if variant != "plain" else None,
@@ -244,7 +264,9 @@ def main(argv: Optional[List[str]] = None) -> int:
                 return out
             stats = run_point(
                 snr,
-                lambda yq, key: decode_gdbf(code, yq, sigma, cfg, key=key),
+                lambda yq, key: decode_gdbf(
+                    code, yq, sigma, cfg, key=key, qc=qc
+                ),
                 preprocess=pre,
             )
             row = gdbf_log_row(
