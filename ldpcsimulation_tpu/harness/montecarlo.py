@@ -210,15 +210,23 @@ def simulate(
             b = min(b, stop.max_frames - stats.total_words)
             if b <= 0:
                 break
+        # always run the full batch shape (one jit signature); short final
+        # batches are sliced in accounting below
         if codewords is not None:
-            idx = (frame_offset + np.arange(b)) % codewords.shape[0]
+            idx = (frame_offset + np.arange(batch_size)) % codewords.shape[0]
             bits = jnp.asarray(codewords[idx])
         else:
-            bits = jnp.zeros((b, code.n), jnp.uint8)
+            bits = jnp.zeros((batch_size, code.n), jnp.uint8)
         key = jax.random.fold_in(root, batch_idx)
         frame_errs, uncoded, iters, satisfied, extras = jax.device_get(
             batch_step(key, bits)
         )
+        if b < batch_size:
+            frame_errs = frame_errs[:b]
+            uncoded = uncoded[:b]
+            iters = iters[:b]
+            satisfied = satisfied[:b]
+            extras = {k: v[:b] for k, v in extras.items()}
 
         stats.total_words += b
         stats.total_bits += b * code.n
