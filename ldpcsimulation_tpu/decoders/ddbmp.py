@@ -46,11 +46,19 @@ def decode_ddbmp(
 
     def one_round(mem):
         s2c = sgn_pos(mem)  # ±1 binary messages
-        # CN: product over row signs, exclusion by self-multiplication
+        # CN: product over row signs, exclusion by self-multiplication.
+        # Sequential product + per-slot emission: values are ±1 so any
+        # order is exact, and the reduce-broadcast form (jnp.prod keepdims
+        # * g) crashes this TPU toolchain's compiler when composed with the
+        # downstream gather.
         g = gather_cn(code, s2c)  # [M, dc_max, B]
         g = jnp.where(code.cn_mask[:, :, None], g, jnp.ones_like(g))
-        prod = jnp.prod(g, axis=1, keepdims=True)  # [M, 1, B]
-        c2v = (prod * g).reshape(code.m * code.dc_max, b)
+        prod = g[:, 0, :]
+        for t in range(1, code.dc_max):
+            prod = prod * g[:, t, :]
+        c2v = jnp.stack(
+            [prod * g[:, t, :] for t in range(code.dc_max)], axis=1
+        ).reshape(code.m * code.dc_max, b)
         # VN
         gv = gather_vn(code, c2v)  # [N, dv_max, B]
         gv = jnp.where(code.vn_mask[:, :, None], gv, jnp.zeros_like(gv))

@@ -34,6 +34,10 @@ def main(argv: Optional[List[str]] = None) -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--out", default=None)
     p.add_argument("--repeats", type=int, default=3)
+    p.add_argument("--only", default=None,
+                   help="substring filter: run only matching configs")
+    p.add_argument("--append", action="store_true",
+                   help="append table rows to --out instead of rewriting")
     args = p.parse_args(argv)
 
     from ..channel.awgn import awgn, llr_from_channel, snr_to_n0, snr_to_sigma
@@ -56,14 +60,19 @@ def main(argv: Optional[List[str]] = None) -> int:
     rows = []
 
     def mega(b, rounds, fn):
-        @jax.jit
-        def step(key):
-            def body(i, acc):
-                return acc + fn(jax.random.fold_in(key, i), b)
-            return jax.lax.fori_loop(0, rounds, body, jnp.int32(0))
-        return step, b * rounds
+        def make():
+            @jax.jit
+            def step(key):
+                def body(i, acc):
+                    return acc + fn(jax.random.fold_in(key, i), b)
+                return jax.lax.fori_loop(0, rounds, body, jnp.int32(0))
+            return step
+        return make, b * rounds
 
-    def record(label, code_n, info_k, step, frames, iters):
+    def record(label, code_n, info_k, step_fn, frames, iters):
+        if args.only and args.only.lower() not in label.lower():
+            return
+        step = step_fn()
         # the remote compile helper occasionally crashes; retry once and
         # skip the row rather than aborting the whole report
         for attempt in range(2):
@@ -147,7 +156,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     dd_code = load_named_code("reg4_4000_2000")
     sigma_d = float(snr_to_sigma(3.9, 0.5))
     from ..channel.quantize import quantize_no_zero
-    step, frames = mega(2048, 2, lambda k, b: jnp.sum(
+    step, frames = mega(1024, 2, lambda k, b: jnp.sum(
         decode_ddbmp(
             dd_code,
             quantize_no_zero(
@@ -173,7 +182,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         ).symbols != 0))
     record("FFT-QSPA GF(64) T<=20 (96,48)sym", 96, 48 * 6, step, frames, 20)
 
-    lines = [
+    header = [
         "# Measured decoder throughput (single TPU v5e chip)",
         "",
         "Full pipeline per call: channel generation + decode + error count;",
@@ -183,6 +192,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         "| configuration | frames/call | median ms | info Mbit/s |",
         "|---|---|---|---|",
     ]
+    lines = [] if args.append else header
     for label, _iters, frames, dt, bits in rows:
         if dt is None:
             lines.append(f"| {label} | {frames} | (compile failed) | — |")
@@ -192,7 +202,8 @@ def main(argv: Optional[List[str]] = None) -> int:
             )
     out = "\n".join(lines) + "\n"
     if args.out:
-        with open(args.out, "w") as f:
+        mode = "a" if args.append else "w"
+        with open(args.out, mode) as f:
             f.write(out)
     else:
         print(out)
