@@ -246,8 +246,17 @@ def decode_ngdbf_hw(
             code.vn_mask[:, :, None], sat_neighbors, jnp.zeros_like(sat_neighbors)
         )
         ssum = jnp.sum(sat_neighbors, axis=1)  # [N, B]
-        qidx = row_iota + st["qptr"][None, :]
-        qvals = jnp.take_along_axis(qint, qidx, axis=0)
+        if cfg.max_phases == 1 and qpointer0 is None:
+            # Single phase: a frame's qpointer only diverges from the global
+            # iteration count after it freezes, and frozen frames never use
+            # their noise values — so ring access is an exact contiguous
+            # slice (take_along_axis is ~40x more expensive here).
+            qvals = jax.lax.dynamic_slice_in_dim(
+                qint, it % ring_mod, n, axis=0
+            )
+        else:
+            qidx = row_iota + st["qptr"][None, :]
+            qvals = jnp.take_along_axis(qint, qidx, axis=0)
         e = (1 - 2 * st["d"]) * yint + ssum * smult + qvals
         flip = e <= theta
         d = jnp.where(act[None, :] & flip, 1 - st["d"], st["d"])
