@@ -57,13 +57,19 @@ __all__ = ["main", "build_parser"]
 
 def _parse_snr(spec: str) -> List[float]:
     """"a:b:step" inclusive grid, or a single value, or comma list."""
-    if ":" in spec:
-        a, b, s = (float(x) for x in spec.split(":"))
-        n = int(round((b - a) / s)) + 1
-        return [round(a + i * s, 10) for i in range(n)]
-    if "," in spec:
-        return [float(x) for x in spec.split(",")]
-    return [float(spec)]
+    try:
+        if ":" in spec:
+            a, b, s = (float(x) for x in spec.split(":"))
+            n = int(round((b - a) / s)) + 1
+            return [round(a + i * s, 10) for i in range(n)]
+        if "," in spec:
+            return [float(x) for x in spec.split(",")]
+        return [float(spec)]
+    except ValueError:
+        raise SystemExit(
+            f"sweep: error: argument --snr: expected 'a:b:step', "
+            f"'v1,v2,...' or a single dB value, got {spec!r}"
+        )
 
 
 def build_parser() -> argparse.ArgumentParser:

@@ -155,24 +155,33 @@ def ref_smngdbf(tmp_path_factory, ref_bins):
 
 
 def test_smngdbf_ber_matches_reference(ref_smngdbf, tmp_path):
-    """SM-NGDBF at a mid-waterfall point: argv per scripts/
-    ngdbf_example_PEGReg504x1008.sh (alist R SNR T theta log noiseScale
-    lambda alpha windowsize Ymax)."""
+    """SM-NGDBF at a *working* deep-waterfall point (argv per
+    scripts/ngdbf_example_PEGReg504x1008.sh: alist R SNR T theta log
+    noiseScale lambda alpha windowsize Ymax).
+
+    Note: the script's own alpha=2.3 diverges (BER ~0.3 on BOTH
+    implementations — the value was tuned for the commented-out
+    ``w = alpha*Ymax/dv`` weight semantics, decodeGDBF.cpp:548-551, and is
+    stale for the shipped ``w = alpha``).  alpha=0.75 restores the
+    published-class behavior (reference: BER ~1e-5 at 3.5 dB, avg ~48
+    iterations) and both BER and the low-variance average-iteration
+    statistic are compared there."""
     from ldpcsimulation_tpu.channel import saturate, snr_to_sigma
     from ldpcsimulation_tpu.decoders.gdbf import decode_gdbf, preset
 
     alist_path = require_reference(PEG_ALIST)
     code = build_code(load_alist(alist_path))
-    snr, T = 3.25, 100
-    theta, nscale, lam, alpha, window, ymax = -0.9, 0.975, 0.988, 2.3, 64, 2.5
+    snr, T = 3.5, 300
+    theta, nscale, lam, alpha, window, ymax = -0.9, 0.975, 0.988, 0.75, 64, 2.5
     log = str(tmp_path / "sm.log")
     subprocess.run(
         [ref_smngdbf, alist_path, "0.5", str(snr), str(T), str(theta), log,
          str(nscale), str(lam), str(alpha), str(window), str(ymax)],
-        check=True, capture_output=True, timeout=600,
+        check=True, capture_output=True, timeout=900,
     )
+    # GDBF row: SNR BER avgIters WER totalBits totalWords T theta ...
     row = open(log).read().strip().splitlines()[-1].split("\t")
-    ref_ber = float(row[1])
+    ref_ber, ref_iters = float(row[1]), float(row[2])
 
     cfg = preset(
         "SMNGDBF", num_iterations=T, theta=theta, noise_scale=nscale,
@@ -184,9 +193,14 @@ def test_smngdbf_ber_matches_reference(ref_smngdbf, tmp_path):
         lambda yq, key: decode_gdbf(code, yq, sigma, cfg, key=key),
         snr_db=snr,
         rate=0.5,
-        stop=StopRule.fixed_frames(768),
-        batch_size=256,
+        stop=StopRule.fixed_frames(8192),
+        batch_size=1024,
         preprocess=lambda y: saturate(y, ymax),
         seed=777,
     )
-    _assert_close_ber(stats.ber, ref_ber, factor=1.5)
+    # convergence dynamics must match tightly (measured 48.0 vs 48.1)
+    assert 0.85 < stats.avg_iterations / ref_iters < 1.18, (
+        stats.avg_iterations, ref_iters,
+    )
+    # BER at ~1e-5 from ~100 errors per side: generous ratio bound
+    _assert_close_ber(stats.ber, ref_ber, factor=2.5)
