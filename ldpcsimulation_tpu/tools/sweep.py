@@ -80,11 +80,19 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "decoder",
         choices=["bp", "minsum", "offsetminsum", "normalizedminsum",
-                 "gdbf", "ddbmp", "ngdbfhw"],
+                 "gdbf", "ddbmp", "ngdbfhw", "nbqspa"],
     )
     src = p.add_mutually_exclusive_group(required=True)
     src.add_argument("--code", choices=sorted(NAMED_CODES), help="named code")
-    src.add_argument("--alist", help="path to an alist file")
+    src.add_argument("--alist", help="path to an alist file (binary or NB)")
+    src.add_argument("--nb-random", metavar="N:M:DV:Q",
+                     help="random GF(Q) regular code, e.g. 96:48:3:64")
+    p.add_argument("--schedule", choices=["flooding", "layered"],
+                   default="flooding",
+                   help="min-sum schedule (layered needs a QC --code)")
+    p.add_argument("--distributed", action="store_true",
+                   help="run all SNR points concurrently on the device "
+                        "mesh (snr x data) with psum-reduced statistics")
     p.add_argument("--rate", type=float, help="code rate R (default k/n)")
     p.add_argument("--snr", required=True, help="Eb/N0 grid 'a:b:step' dB")
     p.add_argument("-T", "--iterations", type=int, required=True)
@@ -137,9 +145,15 @@ def main(argv: Optional[List[str]] = None) -> int:
             pass
         code = qc.to_code() if qc is not None else load_named_code(args.code)
         alist_name = args.code
-    else:
+    elif args.alist:
         code = build_code(load_alist(args.alist))
         alist_name = args.alist
+    else:
+        from ..codes.construct import nb_regular
+
+        n_, m_, dv_, q_ = (int(x) for x in args.nb_random.split(":"))
+        code = build_code(nb_regular(n_, m_, dv_, q=q_, seed=args.seed))
+        alist_name = f"nb_random_{args.nb_random}"
     rate = args.rate if args.rate is not None else code.rate
     codewords = (
         load_codeword_file(args.codewords, n=code.n)
@@ -172,6 +186,9 @@ def main(argv: Optional[List[str]] = None) -> int:
             codewords=codewords,
             verbose=args.verbose,
         )
+
+    if args.distributed:
+        return _run_distributed(args, code, qc, alist_name, snrs, rate, stop, T)
 
     rows = 0
     grid = list(
@@ -221,7 +238,21 @@ def main(argv: Optional[List[str]] = None) -> int:
                 ym = ymax if ymax is not None else 2.0
                 nql = nq if nq is not None else 8.0
                 pre = lambda y: quantize_no_zero(y, ym, nql)
-            if qc is not None:
+            if args.schedule == "layered":
+                if qc is None:
+                    raise SystemExit(
+                        "sweep: error: --schedule layered requires a "
+                        "QC-structured --code"
+                    )
+                from ..decoders.minsum_layered import decode_minsum_layered_qc
+
+                dec = lambda y, key: decode_minsum_layered_qc(
+                    qc, y, T, variant=variant,
+                    alpha=alpha if alpha is not None else 1.0,
+                    delta=delta if delta is not None else 0.0,
+                    early_termination=args.early_termination,
+                )
+            elif qc is not None:
                 from ..decoders.minsum_qc import decode_minsum_qc
 
                 dec = lambda y, key: decode_minsum_qc(
@@ -295,6 +326,30 @@ def main(argv: Optional[List[str]] = None) -> int:
                 preprocess=lambda y: quantize_no_zero(y, ym, nql),
             )
             row = minsum_log_row(snr, stats, T, alist_name, ymax=ym)
+        elif args.decoder == "nbqspa":
+            from ..harness.montecarlo_nb import simulate_nb
+
+            nb_stats = simulate_nb(
+                code, snr_db=snr, num_iterations=T, rate=rate,
+                stop=stop, batch_size=args.batch, seed=args.seed,
+                early_termination=True,
+            )
+            # NB row: SNR SER BER avgIters FER T alist
+            row = "\t".join(
+                fmt(v) for v in (
+                    snr, nb_stats.ser, nb_stats.ber,
+                    nb_stats.avg_iterations, nb_stats.fer, T,
+                )
+            ) + f"\t{alist_name}"
+            append_row(args.log, row)
+            rows += 1
+            print(
+                f"[{rows}/{len(grid)}] SNR={snr} SER={nb_stats.ser:.4g} "
+                f"BER={nb_stats.ber:.4g} frames={nb_stats.total_words} "
+                f"({nb_stats.wall_seconds:.1f}s)",
+                file=sys.stderr,
+            )
+            continue
         elif args.decoder == "ngdbfhw":
             cfg = NGDBFHwConfig(
                 num_iterations=T,
@@ -333,3 +388,66 @@ def main(argv: Optional[List[str]] = None) -> int:
 
 if __name__ == "__main__":
     sys.exit(main())
+
+
+def _run_distributed(args, code, qc, alist_name, snrs, rate, stop, T):
+    """--distributed: all SNR points concurrently on the (snr x data) mesh.
+
+    The mesh snr axis must equal len(snrs) and divide the device count
+    (e.g. 2 points on an 8-device mesh -> 4 data shards per point).
+    Supports bp and the min-sum variants.
+    """
+    import jax
+
+    from ..parallel.mesh import make_mesh
+    from ..parallel.montecarlo import simulate_distributed
+
+    nd = len(jax.devices())
+    if nd % len(snrs):
+        raise SystemExit(
+            f"sweep: error: --distributed needs len(snrs)={len(snrs)} to "
+            f"divide the device count ({nd})"
+        )
+    mesh = make_mesh(n_snr=len(snrs))
+
+    if args.decoder == "bp":
+        def dec(y, sigma, key):
+            from ..decoders.bp import decode_bp
+
+            n0 = 2.0 * sigma * sigma
+            return decode_bp(
+                code, jnp.clip(4.0 * y / n0, -20.0, 20.0), T,
+                early_termination=args.early_termination,
+            )
+    elif args.decoder in ("minsum", "offsetminsum", "normalizedminsum"):
+        variant = {"minsum": "plain", "offsetminsum": "offset",
+                   "normalizedminsum": "normalized"}[args.decoder]
+        alpha = args.alpha[0] if args.alpha[0] is not None else 1.0
+        delta = args.delta[0] if args.delta[0] is not None else 0.0
+
+        def dec(y, sigma, key):
+            return decode_minsum(
+                code, y, T, variant=variant, alpha=alpha, delta=delta,
+                early_termination=args.early_termination,
+            )
+    else:
+        raise SystemExit(
+            "sweep: error: --distributed supports bp and min-sum variants"
+        )
+
+    stats_list = simulate_distributed(
+        code, dec, snrs_db=snrs, mesh=mesh, rate=rate, stop=stop,
+        batch_per_device=args.batch, max_iterations=T, seed=args.seed,
+    )
+    for snr, st in zip(snrs, stats_list):
+        if args.decoder == "bp":
+            row = bp_log_row(snr, st, T, alist_name)
+        else:
+            row = minsum_log_row(snr, st, T, alist_name)
+        append_row(args.log, row)
+        print(
+            f"SNR={snr} BER={st.ber:.4g} FER={st.fer:.4g} "
+            f"frames={st.total_words}",
+            file=sys.stderr,
+        )
+    return 0

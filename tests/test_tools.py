@@ -184,3 +184,52 @@ def test_prob_combinations():
     for p in PR_LEVELS:
         snapped = nearest_levels([p], levels)[0][1]
         assert abs(snapped - p) < 5e-3, (p, snapped)
+
+
+def test_sweep_nbqspa(tmp_path):
+    log = tmp_path / "nb.log"
+    rc = sweep_main(
+        [
+            "nbqspa", "--nb-random", "24:12:3:4", "--snr", "5.0",
+            "-T", "10", "--log", str(log), "--batch", "16",
+            "--max-frames", "32", "--min-errors", "1",
+            "--min-word-errors", "1",
+        ]
+    )
+    assert rc == 0
+    cols = log.read_text().strip().split("\t")
+    assert len(cols) == 7  # SNR SER BER avgIters FER T name
+    assert cols[5] == "10"
+
+
+def test_sweep_layered_schedule(tmp_path):
+    log = tmp_path / "lay.log"
+    rc = sweep_main(
+        [
+            "minsum", "--code", "qc_1008_504", "--schedule", "layered",
+            "--snr", "3.0", "-T", "8", "--early-termination",
+            "--log", str(log), "--batch", "32", "--max-frames", "32",
+            "--min-errors", "1", "--min-word-errors", "1",
+        ]
+    )
+    assert rc == 0
+    assert len(log.read_text().strip().splitlines()) == 1
+
+
+def test_sweep_distributed(tmp_path):
+    log = tmp_path / "dist.log"
+    rc = sweep_main(
+        [
+            "minsum", "--code", "peg_96_48", "--snr", "2.0,4.0",
+            "-T", "5", "--early-termination", "--distributed",
+            "--log", str(log), "--batch", "16",
+            "--min-errors", "10", "--min-word-errors", "2",
+            "--max-frames", "512",
+        ]
+    )
+    assert rc == 0
+    rows = log.read_text().strip().splitlines()
+    assert len(rows) == 2
+    ber_lo = float(rows[0].split("\t")[1])
+    ber_hi = float(rows[1].split("\t")[1])
+    assert ber_lo > ber_hi
