@@ -233,3 +233,38 @@ def test_sweep_distributed(tmp_path):
     ber_lo = float(rows[0].split("\t")[1])
     ber_hi = float(rows[1].split("\t")[1])
     assert ber_lo > ber_hi
+
+
+def test_hw_trace_matches_decoder(rng, tmp_path):
+    """The tracing reference loop must agree with the batched NGDBFhw
+    decoder bit for bit (same ring, same frame)."""
+    import io
+
+    from ldpcsimulation_tpu.codes import build_code, peg
+    from ldpcsimulation_tpu.decoders.ngdbf_hw import (
+        NGDBFHwConfig,
+        decode_ngdbf_hw,
+    )
+    from ldpcsimulation_tpu.tools.hw_trace import trace_ngdbf_hw
+
+    a = peg(64, 16, 2, seed=31)
+    code = build_code(a)
+    cfg = NGDBFHwConfig(num_iterations=30, w=0.25, ymax=1.5,
+                        noise_scale=0.9, theta0=-0.5, nq=5, ring_len=200)
+    sigma = 0.35
+    y = np.ones(code.n) * (1 + sigma * rng.normal(size=code.n))
+    ring = rng.normal(0.0, sigma * cfg.noise_scale, size=cfg.ring_len)
+    buf = io.StringIO()
+    d_bits, iters, sat = trace_ngdbf_hw(code, y, sigma, cfg, ring, buf)
+    res = decode_ngdbf_hw(
+        code, jnp.asarray(y)[None, :], sigma, cfg,
+        key=jax.random.key(0), ring_noise=jnp.asarray(ring)[:, None],
+    )
+    np.testing.assert_array_equal(1 - 2 * np.asarray(d_bits),
+                                  np.asarray(res.hard)[0])
+    assert iters == int(res.iterations[0])
+    text = buf.getvalue()
+    assert text.startswith("GLOBALS:")
+    assert "CHANIN:" in text and "NOISE:" in text
+    if iters > 0:
+        assert "IT 0" in text and "\tE: " in text and "\tflip: " in text
