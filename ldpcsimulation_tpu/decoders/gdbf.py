@@ -172,6 +172,7 @@ def decode_gdbf(
     key: Optional[jax.Array] = None,
     perturbations: Optional[jax.Array] = None,
     qc: Optional[QCCode] = None,
+    stoch_uniforms: Optional[jax.Array] = None,
 ) -> GDBFResult:
     """Batched GDBF-family decode.
 
@@ -186,11 +187,14 @@ def decode_gdbf(
     qc: optional QC structure of the SAME code — switches the two graph
     operations (syndrome, per-VN syndrome sum) to static rolls
     (bit-identical, much faster on TPU for large codes).
+    stoch_uniforms: optional [max_phases*T, N, B] pre-drawn uniform(0,1)
+    draws for the stochastic flip decisions (replay/cross-validation).
     """
     if qc is not None and (qc.n != code.n or qc.m != code.m):
         raise ValueError("qc structure does not match code dimensions")
     if (
-        (cfg.add_noise and perturbations is None) or cfg.quantize_probabilities
+        (cfg.add_noise and perturbations is None)
+        or (cfg.quantize_probabilities and stoch_uniforms is None)
     ) and key is None:
         raise ValueError("this GDBF config needs an RNG key")
     if key is None:
@@ -319,8 +323,13 @@ def decode_gdbf(
             # wins, and a distance of exactly 1 keeps index 0
             lvl_idx = jnp.argmin(jnp.where(dist < 1.0, dist, 1.0), axis=-1)
             p_flip = levels[lvl_idx]
-            kflip = jax.random.fold_in(jax.random.fold_in(key, step), 7)
-            rnum = jax.random.uniform(kflip, (n, b), dtype)
+            if stoch_uniforms is not None:
+                rnum = jax.lax.dynamic_index_in_dim(
+                    stoch_uniforms, step, axis=0, keepdims=False
+                )
+            else:
+                kflip = jax.random.fold_in(jax.random.fold_in(key, step), 7)
+                rnum = jax.random.uniform(kflip, (n, b), dtype)
             flip = rnum < p_flip
             flip_for_adapt = flip
         else:

@@ -422,3 +422,62 @@ def ngdbf_systemc_decode(
     if smoothed and not satisfied:
         x = [1 if updown[i] > 0 else -1 for i in range(n)]
     return dict(d=x, iterations=iters, satisfied=satisfied)
+
+
+def stochastic_ngdbf_decode(
+    a: Alist,
+    yq,
+    sigma: float,
+    T: int,
+    theta: float,
+    noise_scale: float = 1.0,
+    alpha: float = 2.25,
+    weight_syndromes: bool = True,
+    uniforms=None,
+):
+    """Stochastic NGDBF (decodeGDBF.cpp quantizeProbabilities branch,
+    :562-597): flip probability Phi((theta-E)/sigma') snapped to the 8
+    hardware levels (strict < scan, first min wins), Bernoulli flips.
+
+    uniforms: [T][N] pre-drawn uniform(0,1).  Single frame.
+    """
+    n, m = a.n, a.m
+    pr_levels = [0, 0.0625, 0.125, 0.25, 0.34375, 0.4106, 0.68359, 1]
+    yq = list(map(float, yq))
+    d = [1 if v > 0 else -1 for v in yq]
+    w = alpha if weight_syndromes else 1.0
+    noise_sigma = sigma * noise_scale
+    it = 0
+    satisfied = False
+
+    def normal_cdf(x):
+        return 0.5 * math.erfc(-x / math.sqrt(2.0))
+
+    while it < T:
+        syn = []
+        satisfied = True
+        for c in range(m):
+            prod = 1
+            for v in a.mlist[c]:
+                prod *= d[v]
+            if prod < 0:
+                satisfied = False
+            syn.append(prod)
+        if satisfied:
+            break
+        for i in range(n):
+            e = d[i] * yq[i]
+            for c in a.nlist[i]:
+                e += w * syn[c]
+            pcdf = normal_cdf((-e + theta) / noise_sigma)
+            min_dist = 1.0
+            min_idx = 0
+            for j, lv in enumerate(pr_levels):
+                t2 = (lv - pcdf) ** 2
+                if t2 < min_dist:
+                    min_dist = t2
+                    min_idx = j
+            if uniforms[it][i] < pr_levels[min_idx]:
+                d[i] = -d[i]
+        it += 1
+    return dict(d=d, iterations=it, satisfied=satisfied)

@@ -241,3 +241,30 @@ def test_gdbf_qc_graph_ops_bitexact(rng):
     np.testing.assert_array_equal(
         np.asarray(r1.smoothing_used), np.asarray(r2.smoothing_used)
     )
+
+
+def test_stochastic_ngdbf_matches_oracle_with_injected_uniforms(gcode, rng):
+    """Stochastic NGDBF with injected uniform draws must match exactly."""
+    a, code = gcode
+    b = 4
+    sigma = float(snr_to_sigma(4.0, 0.5))
+    y = np.clip(_channel(rng, b, a.n, sigma), -2.0, 2.0)
+    cfg = preset(
+        "StochasticNGDBF", num_iterations=12, theta=-0.6,
+        noise_scale=1.0, alpha=1.0,
+    )
+    uni = rng.uniform(size=(cfg.num_iterations, b, a.n))
+    res = decode_gdbf(
+        code, jnp.asarray(y), sigma, cfg, key=jax.random.key(0),
+        stoch_uniforms=jnp.asarray(np.swapaxes(uni, 1, 2)),
+    )
+    hard = np.asarray(res.hard)
+    iters = np.asarray(res.iterations)
+    for f in range(b):
+        ref = oracle.stochastic_ngdbf_decode(
+            a, y[f], sigma, cfg.num_iterations, cfg.theta,
+            noise_scale=cfg.noise_scale, alpha=cfg.alpha,
+            uniforms=[list(u) for u in uni[:, f, :]],
+        )
+        np.testing.assert_array_equal(hard[f], ref["d"], err_msg=f"frame {f}")
+        assert iters[f] == ref["iterations"], f"frame {f}"
