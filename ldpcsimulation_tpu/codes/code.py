@@ -26,7 +26,7 @@ contiguous lane vectors.
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional
+from typing import List
 
 import jax
 import numpy as np

@@ -18,8 +18,7 @@ Constructions provided:
 
 from __future__ import annotations
 
-import collections
-from typing import List, Optional, Sequence
+from typing import List, Sequence
 
 import numpy as np
 

@@ -12,7 +12,7 @@ mod-2 matmul maps to the MXU).
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -24,9 +24,8 @@ unstructured); this module is TPU-native design, not a port.
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
-import jax
 import numpy as np
 
 from .alist import Alist

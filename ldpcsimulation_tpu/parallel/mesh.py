@@ -22,13 +22,12 @@ devices and the psums ride ICI/DCN.
 
 from __future__ import annotations
 
-import functools
 from typing import Callable, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..channel.awgn import awgn, bpsk
 from ..codes.code import Code

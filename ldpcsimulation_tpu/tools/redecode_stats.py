@@ -15,7 +15,7 @@ batched decode.
 
 from __future__ import annotations
 
-from typing import List, Optional, TextIO
+from typing import Optional, TextIO
 
 import jax
 import jax.numpy as jnp

@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..channel.awgn import awgn, bpsk, snr_to_sigma
+from ..channel.awgn import awgn, bpsk
 from ..codes.code import Code
 from ..decoders.base import syndrome_from_hard
 from ..decoders.gdbf import GDBFConfig, decode_gdbf
