@@ -204,3 +204,132 @@ def test_smngdbf_ber_matches_reference(ref_smngdbf, tmp_path):
     )
     # BER at ~1e-5 from ~100 errors per side: generous ratio bound
     _assert_close_ber(stats.ber, ref_ber, factor=2.5)
+
+
+@pytest.fixture(scope="session")
+def ref_variant_bins(tmp_path_factory, ref_bins):
+    """Quantized min-sum variants + DD-BMP (Makefile:58-71)."""
+    src = os.path.join(REFERENCE_ROOT, "C_implementations")
+    build = tmp_path_factory.mktemp("refvar")
+    objs = [
+        str(p)
+        for p in __import__("pathlib").Path(ref_bins["decodeMinSum"]).parent.glob("*.o")
+    ]
+    bins = {}
+    try:
+        for name, src_file, flags in [
+            ("decodeOffsetMinSum", "decodeMinSum.cpp",
+             ["-DquantizeSamples", "-DoffsetMS"]),
+            ("decodeNormalizedMinSum", "decodeMinSum.cpp",
+             ["-DquantizeSamples", "-DnormalizedMS"]),
+            ("decodeDDBMP", "decodeDDBMP.cpp", []),
+        ]:
+            out = build / name
+            subprocess.run(
+                ["g++", "-O2", f"-I{src}/inc", "-o", str(out), *flags,
+                 *objs, f"{src}/src/{src_file}", "-lm"],
+                check=True, capture_output=True, timeout=120,
+            )
+            bins[name] = str(out)
+    except subprocess.CalledProcessError as e:
+        pytest.skip(f"cannot build variant binaries: {e}")
+    return bins
+
+
+def test_offset_minsum_ber_matches_reference(ref_variant_bins, tmp_path):
+    """argv: alist R SNR T Ymax Q delta logfile (decodeMinSum.cpp:75-131;
+    Q is BITS, the quantizer gets Nq = 2^Q levels)."""
+    from ldpcsimulation_tpu.channel import quantize_no_zero
+
+    alist_path = require_reference(PEG_ALIST)
+    code = build_code(load_alist(alist_path))
+    snr, T, ymax, qbits, delta = 2.2, 10, 2.0, 3, 0.3
+    nq = 2.0 ** qbits
+    log = str(tmp_path / "oms.log")
+    bers = []
+    for _ in range(3):
+        subprocess.run(
+            [ref_variant_bins["decodeOffsetMinSum"], alist_path, "0.5",
+             str(snr), str(T), str(ymax), str(qbits), str(delta), log],
+            check=True, capture_output=True, timeout=600,
+        )
+        bers.append(float(open(log).read().strip().splitlines()[-1].split("\t")[1]))
+        __import__("time").sleep(1.1)
+    ref_ber = float(np.mean(bers))
+    stats = simulate(
+        code,
+        lambda y, key: decode_minsum(code, y, T, variant="offset", delta=delta),
+        snr_db=snr, rate=0.5,
+        stop=StopRule.fixed_frames(768), batch_size=256,
+        preprocess=lambda y: quantize_no_zero(y, ymax, nq),
+        seed=555,
+    )
+    _assert_close_ber(stats.ber, ref_ber, factor=1.4)
+
+
+def test_normalized_minsum_ber_matches_reference(ref_variant_bins, tmp_path):
+    from ldpcsimulation_tpu.channel import quantize_no_zero
+
+    alist_path = require_reference(PEG_ALIST)
+    code = build_code(load_alist(alist_path))
+    snr, T, ymax, qbits, alpha = 2.2, 10, 2.0, 3, 1.25
+    nq = 2.0 ** qbits
+    log = str(tmp_path / "nms.log")
+    bers = []
+    for _ in range(3):
+        subprocess.run(
+            [ref_variant_bins["decodeNormalizedMinSum"], alist_path, "0.5",
+             str(snr), str(T), str(ymax), str(qbits), str(alpha), log],
+            check=True, capture_output=True, timeout=600,
+        )
+        bers.append(float(open(log).read().strip().splitlines()[-1].split("\t")[1]))
+        __import__("time").sleep(1.1)
+    ref_ber = float(np.mean(bers))
+    stats = simulate(
+        code,
+        lambda y, key: decode_minsum(
+            code, y, T, variant="normalized", alpha=alpha
+        ),
+        snr_db=snr, rate=0.5,
+        stop=StopRule.fixed_frames(768), batch_size=256,
+        preprocess=lambda y: quantize_no_zero(y, ymax, nq),
+        seed=556,
+    )
+    _assert_close_ber(stats.ber, ref_ber, factor=1.4)
+
+
+def test_ddbmp_ber_matches_reference(ref_variant_bins, tmp_path):
+    """argv: alist R SNR T Ymax Q logfile (decodeDDBMP.cpp; Nq = 2^Q)."""
+    from ldpcsimulation_tpu.channel import quantize_no_zero
+    from ldpcsimulation_tpu.decoders.ddbmp import decode_ddbmp
+
+    alist_path = require_reference(PEG_ALIST)
+    code = build_code(load_alist(alist_path))
+    snr, T, ymax, qbits = 3.6, 50, 1.5, 3
+    log = str(tmp_path / "dd.log")
+    bers = []
+    iters_ref = []
+    for _ in range(3):
+        subprocess.run(
+            [ref_variant_bins["decodeDDBMP"], alist_path, "0.5", str(snr),
+             str(T), str(ymax), str(qbits), log],
+            check=True, capture_output=True, timeout=600,
+        )
+        row = open(log).read().strip().splitlines()[-1].split("\t")
+        bers.append(float(row[1]))
+        iters_ref.append(float(row[2]))
+        __import__("time").sleep(1.1)
+    ref_ber = float(np.mean(bers))
+    ref_iters = float(np.mean(iters_ref))
+    stats = simulate(
+        code,
+        lambda yq, key: decode_ddbmp(code, yq, T),
+        snr_db=snr, rate=0.5,
+        stop=StopRule.fixed_frames(2048), batch_size=512,
+        preprocess=lambda y: quantize_no_zero(y, ymax, 2.0 ** qbits),
+        seed=557,
+    )
+    assert 0.8 < stats.avg_iterations / ref_iters < 1.25, (
+        stats.avg_iterations, ref_iters,
+    )
+    _assert_close_ber(stats.ber, ref_ber, factor=1.6)
