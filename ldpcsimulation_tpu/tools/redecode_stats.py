@@ -67,3 +67,66 @@ def redecode_statistics(
                 str(f) + "\t" + "\t".join(map(str, outcomes[f])) + "\n"
             )
     return outcomes
+
+
+def _main(argv=None):
+    """CLI: per-frame redecode statistics (redecodeStatistics analog).
+
+    python -m ldpcsimulation_tpu.tools.redecode_stats --code qc_1008_504 \
+        --snr 3.5 -T 300 --frames 200 --redecodes 100 --log out.log
+    """
+    import argparse
+    import sys
+
+    from ..codes import build_code, load_alist
+    from ..codes.library import NAMED_CODES, load_named_code
+    from ..decoders.gdbf import PRESETS, preset
+
+    p = argparse.ArgumentParser(
+        prog="redecode_stats", description=_main.__doc__
+    )
+    src = p.add_mutually_exclusive_group(required=True)
+    src.add_argument("--code", choices=sorted(NAMED_CODES))
+    src.add_argument("--alist")
+    p.add_argument("--snr", type=float, required=True)
+    p.add_argument("--rate", type=float, default=None)
+    p.add_argument("-T", "--iterations", type=int, required=True)
+    p.add_argument("--frames", type=int, default=200)
+    p.add_argument("--redecodes", type=int, default=100)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--preset", choices=sorted(PRESETS), default="SMNGDBF")
+    p.add_argument("--theta", type=float, default=-0.9)
+    p.add_argument("--noise-scale", type=float, default=0.975)
+    p.add_argument("--lam", type=float, default=0.988)
+    p.add_argument("--alpha", type=float, default=0.75)
+    p.add_argument("--window", type=int, default=64)
+    p.add_argument("--log", required=True)
+    args = p.parse_args(argv)
+
+    code = (
+        load_named_code(args.code)
+        if args.code
+        else build_code(load_alist(args.alist))
+    )
+    cfg = preset(
+        args.preset, num_iterations=args.iterations, theta=args.theta,
+        noise_scale=args.noise_scale, lam=args.lam, alpha=args.alpha,
+        window_size=args.window,
+    )
+    with open(args.log, "w") as f:
+        out = redecode_statistics(
+            code, cfg, snr_db=args.snr, rate=args.rate,
+            num_frames=args.frames, num_redecodes=args.redecodes,
+            seed=args.seed, log=f,
+        )
+    pe = (out > 0).mean(axis=1)
+    print(
+        f"{args.frames} frames x {args.redecodes} redecodes: mean Pe(f) = "
+        f"{pe.mean():.4f}, frames with Pe>0: {(pe > 0).sum()}",
+        file=sys.stderr,
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(_main())

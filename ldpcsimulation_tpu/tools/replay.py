@@ -112,3 +112,70 @@ def write_trace(trace: GDBFTrace, path: str) -> None:
         for it in range(trace.decisions.shape[0]):
             f.write("d " + " ".join(map(str, trace.decisions[it])) + "\n")
             f.write("s " + " ".join(map(str, trace.syndromes[it])) + "\n")
+
+
+def _main(argv=None):
+    """CLI: replay one frame and write its decision/syndrome trace.
+
+    python -m ldpcsimulation_tpu.tools.replay --code qc_1008_504 \
+        --snr 3.25 --seed 0 --batch-index 2 --frame 17 --batch 1024 \
+        --preset SMNGDBF -T 100 --theta -0.9 --out frame.trace
+    """
+    import argparse
+
+    from ..channel.awgn import snr_to_sigma
+    from ..channel.quantize import saturate
+    from ..codes import build_code, load_alist
+    from ..codes.library import NAMED_CODES, load_named_code
+    from ..decoders.gdbf import PRESETS, preset
+
+    p = argparse.ArgumentParser(prog="replay", description=_main.__doc__)
+    src = p.add_mutually_exclusive_group(required=True)
+    src.add_argument("--code", choices=sorted(NAMED_CODES))
+    src.add_argument("--alist")
+    p.add_argument("--snr", type=float, required=True)
+    p.add_argument("--rate", type=float, default=None)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--batch-index", type=int, required=True)
+    p.add_argument("--frame", type=int, required=True)
+    p.add_argument("--batch", type=int, required=True,
+                   help="batch size of the original simulate() run")
+    p.add_argument("--preset", choices=sorted(PRESETS), default="SMNGDBF")
+    p.add_argument("-T", "--iterations", type=int, required=True)
+    p.add_argument("--theta", type=float, default=-0.9)
+    p.add_argument("--noise-scale", type=float, default=0.975)
+    p.add_argument("--lam", type=float, default=0.988)
+    p.add_argument("--alpha", type=float, default=0.75)
+    p.add_argument("--window", type=int, default=64)
+    p.add_argument("--ymax", type=float, default=2.5)
+    p.add_argument("--out", required=True)
+    args = p.parse_args(argv)
+
+    code = (
+        load_named_code(args.code)
+        if args.code
+        else build_code(load_alist(args.alist))
+    )
+    rate = args.rate if args.rate is not None else code.rate
+    sigma = float(snr_to_sigma(args.snr, rate))
+    y, kdec = replay_channel(
+        code, args.seed, args.batch_index, args.frame, args.batch, sigma
+    )
+    yq = np.asarray(saturate(jnp.asarray(y), args.ymax))
+    cfg = preset(
+        args.preset, num_iterations=args.iterations, theta=args.theta,
+        noise_scale=args.noise_scale, lam=args.lam, alpha=args.alpha,
+        window_size=args.window,
+    )
+    tr = trace_gdbf(code, yq, sigma, cfg, key=kdec)
+    write_trace(tr, args.out)
+    print(
+        f"frame ({args.seed},{args.batch_index},{args.frame}): "
+        f"iterations={tr.iterations} satisfied={tr.satisfied} "
+        f"trace -> {args.out}"
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(_main())
