@@ -40,17 +40,21 @@ def _pack_bits(value: int, nq: int) -> str:
 
 def trace_ngdbf_hw(
     code: Code,
-    y: np.ndarray,
+    y: Optional[np.ndarray],
     sigma: float,
     cfg: NGDBFHwConfig,
-    ring_noise: np.ndarray,
+    ring_noise: Optional[np.ndarray],
     out: TextIO,
     max_iterations: Optional[int] = None,
+    yint_override: Optional[np.ndarray] = None,
+    qint_override: Optional[np.ndarray] = None,
 ):
     """Decode one frame, writing LOG_PROCESSING-style records to ``out``.
 
     y: [N] raw channel samples; ring_noise: [ring_len] raw σ'·n draws.
-    Returns (d_bits, iterations, satisfied).
+    yint_override/qint_override: already-quantized unpacked integers (the
+    ±(2·mag+1) domain) — for replaying a reference LOG_PROCESSING capture
+    bit-exactly.  Returns (d_bits, iterations, satisfied).
     """
     n, m = code.n, code.m
     lmax, nl, nq = cfg.lmax, cfg.nl, cfg.nq
@@ -63,16 +67,21 @@ def trace_ngdbf_hw(
     cn_vn = np.asarray(code.cn_vn)
     cn_mask = np.asarray(code.cn_mask)
 
-    yc = np.clip(np.asarray(y, float), -cfg.ymax, cfg.ymax)
-    yc = np.where(np.abs(y) > cfg.ymax, np.sign(y) * cfg.ymax, y)
-    r = np.where(yc > 0, 1, -1)
+    if yint_override is not None:
+        yint = [int(v) for v in yint_override]
+    else:
+        yc = np.where(np.abs(y) > cfg.ymax, np.sign(y) * cfg.ymax, y)
+        yint = [_quant_int(v / (2.0 * cfg.w), nl, lmax) for v in yc]
+    r = np.where(np.asarray(yint) > 0, 1, -1)
     d = ((1 - r) // 2).astype(int)
-    yint = [_quant_int(v / (2.0 * cfg.w), nl, lmax) for v in yc]
-    qint = []
-    for q in ring_noise:
-        qm = (float(q) - cfg.theta0) / (2.0 * cfg.w) - 1.0
-        qm = max(-lmax, min(lmax, qm))
-        qint.append(_quant_int(qm, nl, lmax))
+    if qint_override is not None:
+        qint = [int(v) for v in qint_override]
+    else:
+        qint = []
+        for q in ring_noise:
+            qm = (float(q) - cfg.theta0) / (2.0 * cfg.w) - 1.0
+            qm = max(-lmax, min(lmax, qm))
+            qint.append(_quant_int(qm, nl, lmax))
     ring_mod = len(qint) - n
 
     out.write(f"GLOBALS:\n\ttheta = {theta}\n\tSmult = {smult}\n")
