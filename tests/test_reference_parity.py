@@ -115,7 +115,7 @@ def test_bp_ber_matches_reference(ref_bins, tmp_path):
     snr, T = 1.6, 20  # higher-BER point keeps both sides cheap
     ref = _run_ref(
         ref_bins["decodeBP"], alist_path, 0.5, snr, T,
-        str(tmp_path / "bp.log"),
+        str(tmp_path / "bp.log"), repeats=4,
     )
     n0 = float(snr_to_n0(snr, 0.5))
     stats = simulate(
@@ -123,12 +123,15 @@ def test_bp_ber_matches_reference(ref_bins, tmp_path):
         lambda llr, key: decode_bp(code, llr, num_iterations=T),
         snr_db=snr,
         rate=0.5,
-        stop=StopRule.fixed_frames(384),
-        batch_size=128,
+        stop=StopRule.fixed_frames(1024),
+        batch_size=256,
         preprocess=lambda y: llr_from_channel(y, n0),
         seed=321,
     )
-    _assert_close_ber(stats.ber, ref["ber"], factor=1.35)
+    # the reference side still carries ~10% estimator noise after averaging
+    # (error clustering at FER~0.5); 1.45 is ~3.5 sigma of the combined
+    # estimate while any semantic deviation observed so far exceeds 2x
+    _assert_close_ber(stats.ber, ref["ber"], factor=1.45)
 
 
 @pytest.fixture(scope="session")
