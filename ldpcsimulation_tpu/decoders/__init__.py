@@ -34,3 +34,4 @@ __all__ = [
     "decode_ngdbf_systemc",
 ]
 from .nb_minsum import decode_nb_minsum  # noqa: F401,E402
+from .bp_layered import decode_bp_layered_qc  # noqa: F401,E402

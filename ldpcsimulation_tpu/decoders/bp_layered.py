@@ -1,0 +1,116 @@
+"""Row-layered sum-product BP for QC codes.
+
+Layered counterpart of :mod:`.bp_qc`, structured like
+:mod:`.minsum_layered`: per base-row layers with immediate posterior
+updates, phi-domain check updates with exact prefix/suffix exclusion, and
+the ±MAXLLR clamp applied to the extrinsic inputs exactly as the flooding
+BP clamps its outgoing messages (``decodeBP.cpp:399-401``).  No reference
+counterpart (the reference is flooding-only); this completes the
+schedule × algorithm matrix {flooding, layered} × {min-sum, BP}.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..codes.qc import QCCode
+from .base import DecodeResult, sgn_pos
+from .bp import MAXLLR, _phi
+from .minsum_qc import _vn_slot_index, qc_check_satisfied
+
+__all__ = ["decode_bp_layered_qc"]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("qc", "num_iterations", "early_termination"),
+)
+def decode_bp_layered_qc(
+    qc: QCCode,
+    llr: jax.Array,
+    num_iterations: int,
+    max_llr: float = MAXLLR,
+    early_termination: bool = False,
+) -> DecodeResult:
+    """Batched row-layered sum-product on a QC code.  llr: [B, N]."""
+    llr_t = jnp.asarray(llr).T
+    n, b = llr_t.shape
+    assert n == qc.n
+    z = qc.z
+    dtype = llr_t.dtype
+    q0 = llr_t.reshape(qc.nb, z, b)
+    dc_max = qc.dc_max
+    l0 = jnp.zeros((qc.mb, dc_max, z, b), dtype)
+
+    def one_iteration(q, L):
+        for bi in range(qc.mb):
+            blocks = qc.cn_blocks[bi]
+            dc = len(blocks)
+            qext = []
+            for t, (bj, shift) in enumerate(blocks):
+                qv = jnp.roll(q[bj], -shift, axis=0)
+                qext.append(jnp.clip(qv - L[bi, t], -max_llr, max_llr))
+            mags = [_phi(jnp.abs(v)) for v in qext]
+            signs = [sgn_pos(v) for v in qext]
+            zeros = jnp.zeros((z, b), dtype)
+            ones = jnp.ones((z, b), dtype)
+            pre_m, pre_s = [zeros], [ones]
+            for t in range(dc - 1):
+                pre_m.append(pre_m[-1] + mags[t])
+                pre_s.append(pre_s[-1] * signs[t])
+            suf_m, suf_s = [zeros], [ones]
+            for t in range(dc - 1, 0, -1):
+                suf_m.append(suf_m[-1] + mags[t])
+                suf_s.append(suf_s[-1] * signs[t])
+            suf_m.reverse()
+            suf_s.reverse()
+            new_rows = []
+            for t, (bj, shift) in enumerate(blocks):
+                out = (pre_s[t] * suf_s[t]) * _phi(pre_m[t] + suf_m[t])
+                q = q.at[bj].set(jnp.roll(qext[t] + out, shift, axis=0))
+                new_rows.append(out)
+            pad = [jnp.zeros((z, b), dtype)] * (dc_max - dc)
+            L = L.at[bi].set(jnp.stack(new_rows + pad))
+        return q, L
+
+    def decide(q):
+        return jnp.where(q > 0, 1, -1).astype(jnp.int32)
+
+    if not early_termination:
+        def body(_, carry):
+            return one_iteration(*carry)
+
+        q, _l = jax.lax.fori_loop(0, num_iterations, body, (q0, l0))
+        d = decide(q)
+        return DecodeResult(
+            hard=d.reshape(n, b).T,
+            iterations=jnp.full((b,), num_iterations, jnp.int32),
+            satisfied=qc_check_satisfied(qc, d),
+        )
+
+    done0 = qc_check_satisfied(qc, decide(q0))
+    iters0 = jnp.zeros((b,), jnp.int32)
+
+    def cond(carry):
+        t, _q, _l, _iters, done = carry
+        return (t < num_iterations) & ~jnp.all(done)
+
+    def body(carry):
+        t, q, L, iters, done = carry
+        q_new, l_new = one_iteration(q, L)
+        act = ~done
+        q = jnp.where(act[None, None, :], q_new, q)
+        L = jnp.where(act[None, None, None, :], l_new, L)
+        iters = jnp.where(act, t + 1, iters)
+        done = done | qc_check_satisfied(qc, decide(q))
+        return (t + 1, q, L, iters, done)
+
+    _t, q, _l, iters, done = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), q0, l0, iters0, done0)
+    )
+    return DecodeResult(
+        hard=decide(q).reshape(n, b).T, iterations=iters, satisfied=done
+    )

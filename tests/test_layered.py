@@ -124,3 +124,69 @@ def test_layered_on_wifi_like():
     )
     hard = np.asarray(res.hard)
     assert (hard == 1).all(axis=1).mean() > 0.8
+
+
+def bp_layered_oracle(qc, llr, T, max_llr=20.0):
+    """Per-edge NumPy implementation of the layered BP spec (tanh form)."""
+    import math
+
+    z = qc.z
+    q = np.array(llr, np.float64).reshape(qc.nb, z)
+    L = {
+        (bi, t): np.zeros(z)
+        for bi in range(qc.mb)
+        for t in range(len(qc.cn_blocks[bi]))
+    }
+    for _ in range(T):
+        for bi in range(qc.mb):
+            blocks = qc.cn_blocks[bi]
+            for r in range(z):
+                qext = []
+                for t, (bj, shift) in enumerate(blocks):
+                    rc = (r + shift) % z
+                    v = q[bj, rc] - L[(bi, t)][r]
+                    v = max(-max_llr, min(max_llr, v))
+                    qext.append(v)
+                for t, (bj, shift) in enumerate(blocks):
+                    prod = 1.0
+                    for t2, v in enumerate(qext):
+                        if t2 != t:
+                            prod *= math.tanh(v / 2.0)
+                    prod = max(-1 + 1e-15, min(1 - 1e-15, prod))
+                    out = math.log((1 + prod) / (1 - prod))
+                    rc = (r + shift) % z
+                    q[bj, rc] = qext[t] + out
+                    L[(bi, t)][r] = out
+    return np.where(q.reshape(-1) > 0, 1, -1)
+
+
+def test_bp_layered_matches_numpy_oracle(lqc, rng):
+    from ldpcsimulation_tpu.decoders.bp_layered import decode_bp_layered_qc
+
+    llr = np.clip(rng.normal(0.5, 2.0, size=(4, lqc.n)), -18, 18)
+    res = decode_bp_layered_qc(lqc, jnp.asarray(llr), num_iterations=4)
+    hard = np.asarray(res.hard)
+    for f in range(4):
+        d_ref = bp_layered_oracle(lqc, llr[f], 4)
+        np.testing.assert_array_equal(hard[f], d_ref, err_msg=f"frame {f}")
+
+
+def test_bp_layered_converges_faster_than_flooding():
+    from ldpcsimulation_tpu.decoders.bp_layered import decode_bp_layered_qc
+    from ldpcsimulation_tpu.decoders.bp_qc import decode_bp_qc
+    from ldpcsimulation_tpu.channel import llr_from_channel, snr_to_n0
+
+    qc = qc_peg(24, 12, 3, z=16, seed=5)
+    n0 = float(snr_to_n0(2.5, 0.5))
+    sigma = float(np.sqrt(n0 / 2))
+    y = awgn(jax.random.key(3), jnp.ones((256, qc.n)), sigma)
+    llr = llr_from_channel(y, n0)
+    fl = decode_bp_qc(qc, llr, 30, early_termination=True)
+    la = decode_bp_layered_qc(qc, llr, 30, early_termination=True)
+    ok_f = np.asarray(fl.satisfied)
+    ok_l = np.asarray(la.satisfied)
+    assert ok_l.mean() >= ok_f.mean() - 0.02
+    both = ok_f & ok_l
+    it_f = np.asarray(fl.iterations, float)[both]
+    it_l = np.asarray(la.iterations, float)[both]
+    assert it_l.mean() < 0.75 * it_f.mean(), (it_l.mean(), it_f.mean())
