@@ -216,7 +216,18 @@ def main(argv: Optional[List[str]] = None) -> int:
         n0 = float(snr_to_n0(snr, rate))
         sigma = float(snr_to_sigma(snr, rate))
         if args.decoder == "bp":
-            if qc is not None:
+            if args.schedule == "layered":
+                if qc is None:
+                    raise SystemExit(
+                        "sweep: error: --schedule layered requires a "
+                        "QC-structured --code"
+                    )
+                from ..decoders.bp_layered import decode_bp_layered_qc
+
+                dec = lambda llr, key: decode_bp_layered_qc(
+                    qc, llr, T, early_termination=args.early_termination
+                )
+            elif qc is not None:
                 from ..decoders.bp_qc import decode_bp_qc
 
                 dec = lambda llr, key: decode_bp_qc(
