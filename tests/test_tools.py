@@ -268,3 +268,29 @@ def test_hw_trace_matches_decoder(rng, tmp_path):
     assert "CHANIN:" in text and "NOISE:" in text
     if iters > 0:
         assert "IT 0" in text and "\tE: " in text and "\tflip: " in text
+
+
+def test_sweep_with_codeword_fixtures(tmp_path):
+    """--codewords: data.enc-style fixture cycling through the CLI."""
+    import jax as _jax
+
+    from ldpcsimulation_tpu.codes import make_encoder, random_codewords
+    from ldpcsimulation_tpu.harness.fixtures import save_codeword_file
+
+    code = make_regular_code(96, 48, 3, seed=0)
+    enc = make_encoder(code)
+    cw = np.asarray(random_codewords(enc, _jax.random.key(9), 20))
+    cwf = tmp_path / "data.enc"
+    save_codeword_file(str(cwf), cw)
+    log = tmp_path / "cw.log"
+    rc = sweep_main(
+        [
+            "minsum", "--code", "peg_96_48", "--snr", "5.0", "-T", "8",
+            "--early-termination", "--codewords", str(cwf),
+            "--log", str(log), "--batch", "40", "--max-frames", "80",
+            "--min-errors", "1", "--min-word-errors", "1",
+        ]
+    )
+    assert rc == 0
+    cols = log.read_text().strip().split("\t")
+    assert float(cols[1]) < 0.05  # decodes real codewords at 5 dB
