@@ -564,3 +564,26 @@ def test_ngdbfhw_bit_exact_vs_reference_log(ref_bins, tmp_path):
     for it, ((re_, rf), (oe, of)) in enumerate(zip(ref_iters, our_iters)):
         assert oe == re_, f"E mismatch at iteration {it}"
         assert of == rf, f"flip mismatch at iteration {it}"
+
+
+def test_minsum_matches_reference_on_mackay_4000(ref_bins, tmp_path):
+    """Second real code: MacKay 4000.2000.4.244 (4,8)-regular, min-sum T=15
+    per scripts/minsum_example_4000.2000.4.244.sh's operating range."""
+    alist_path = require_reference(
+        "C_implementations/codes/4000.2000.4.244/4000.2000.4.244.alist"
+    )
+    code = build_code(load_alist(alist_path))
+    assert code.n == 4000 and code.m == 2000
+    assert code.dv_max == 4 and code.dc_max == 8
+    snr, T = 2.6, 15
+    ref = _run_ref(
+        ref_bins["decodeMinSum"], alist_path, 0.5, snr, T,
+        str(tmp_path / "mk.log"),
+    )
+    stats = simulate(
+        code,
+        lambda y, key: decode_minsum(code, y, num_iterations=T),
+        snr_db=snr, rate=0.5,
+        stop=StopRule.fixed_frames(512), batch_size=256, seed=888,
+    )
+    _assert_close_ber(stats.ber, ref["ber"], factor=1.45)
