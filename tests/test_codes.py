@@ -173,3 +173,43 @@ def test_load_reference_nonbinary():
     assert a.nvals is not None
     # all coefficients nonzero field elements
     assert all(0 < v < 4 for row in a.nvals for v in row)
+
+
+def test_load_all_reference_binary_alists():
+    """Every binary alist shipped by the reference loads with correct
+    dimensions (covers padded/unpadded dialects and the transposed
+    802.11n storage, SURVEY §2.5)."""
+    cases = [
+        ("C_implementations/codes/4376.282.4.9598/4376.282.4.9598.alist",
+         4376, 282),
+        ("C_implementations/codes/802_3/802_3_H.alist", 2048, 384),
+        ("C_implementations/codes/802_3/802_3.alist", 2048, 325),
+    ]
+    for rel, n, m in cases:
+        p = require_reference(rel)
+        a = load_alist(p)
+        assert (a.n, a.m) == (n, m), rel
+        a.validate()
+    # The reference's two 802.11n alists are themselves truncated (their
+    # adjacency sections are 24 tokens short of the declared degrees; no
+    # reference program reads them — SURVEY §2.5 notes them as unused).
+    # The parser must reject them loudly rather than mis-load.
+    for rel in (
+        "C_implementations/codes/802.11n/802.11n.alist",
+        "C_implementations/codes/802.11n/ldpc_802.11n.alist",
+    ):
+        p = require_reference(rel)
+        with pytest.raises(ValueError, match="truncated"):
+            load_alist(p)
+
+
+def test_load_reference_dvbs2_alist():
+    """The 64800-column DVB-S2 rate-1/2 alist parses (large-file path)."""
+    p = require_reference(
+        "C_implementations/codes/dvbs2_1_2/dvbs2_1_2.alist"
+    )
+    a = load_alist(p, validate=False)  # full validate is O(E) dict-heavy
+    assert a.n == 64800 and a.m == 32400
+    assert a.num_edges == sum(a.dv)
+    code = build_code(a)
+    assert code.n == 64800
