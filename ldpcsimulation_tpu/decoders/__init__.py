@@ -35,3 +35,6 @@ __all__ = [
 ]
 from .nb_minsum import decode_nb_minsum  # noqa: F401,E402
 from .bp_layered import decode_bp_layered_qc  # noqa: F401,E402
+from .bp_qc import decode_bp_qc  # noqa: F401,E402
+from .minsum_qc import decode_minsum_qc  # noqa: F401,E402
+from .minsum_layered import decode_minsum_layered_qc  # noqa: F401,E402

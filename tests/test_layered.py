@@ -142,14 +142,15 @@ def bp_layered_oracle(qc, llr, T, max_llr=20.0):
             blocks = qc.cn_blocks[bi]
             for r in range(z):
                 qext = []
+                qin = []
                 for t, (bj, shift) in enumerate(blocks):
                     rc = (r + shift) % z
                     v = q[bj, rc] - L[(bi, t)][r]
-                    v = max(-max_llr, min(max_llr, v))
                     qext.append(v)
+                    qin.append(max(-max_llr, min(max_llr, v)))
                 for t, (bj, shift) in enumerate(blocks):
                     prod = 1.0
-                    for t2, v in enumerate(qext):
+                    for t2, v in enumerate(qin):
                         if t2 != t:
                             prod *= math.tanh(v / 2.0)
                     prod = max(-1 + 1e-15, min(1 - 1e-15, prod))
@@ -190,3 +191,28 @@ def test_bp_layered_converges_faster_than_flooding():
     it_f = np.asarray(fl.iterations, float)[both]
     it_l = np.asarray(la.iterations, float)[both]
     assert it_l.mean() < 0.75 * it_f.mean(), (it_l.mean(), it_f.mean())
+
+
+def test_bp_layered_not_worse_than_flooding_at_scale():
+    """Regression pin: clamping the reconstructed posterior (the original
+    formulation) collapsed ~1% of frames to ~800-bit-error garbage at
+    2.5 dB on the (1008,504) code; the corrected clamp-on-CN-input-only
+    semantics must keep layered at-or-better than flooding."""
+    from ldpcsimulation_tpu.channel import llr_from_channel, snr_to_n0
+    from ldpcsimulation_tpu.codes.library import load_named_qc
+    from ldpcsimulation_tpu.decoders.bp_layered import decode_bp_layered_qc
+    from ldpcsimulation_tpu.decoders.bp_qc import decode_bp_qc
+
+    qc = load_named_qc("qc_1008_504")
+    n0 = float(snr_to_n0(2.5, 0.5))
+    sigma = float(np.sqrt(n0 / 2))
+    y = awgn(jax.random.key(0), jnp.ones((512, qc.n)), sigma)
+    llr = llr_from_channel(y, n0)
+    fl = decode_bp_qc(qc, llr, 30, early_termination=True)
+    la = decode_bp_layered_qc(qc, llr, 30, early_termination=True)
+    fe_f = (np.asarray(fl.hard) != 1).any(axis=1)
+    fe_l = (np.asarray(la.hard) != 1).any(axis=1)
+    assert fe_l.sum() <= fe_f.sum() + 1
+    assert (np.asarray(la.hard) != 1).mean() <= (
+        np.asarray(fl.hard) != 1
+    ).mean() + 1e-4
