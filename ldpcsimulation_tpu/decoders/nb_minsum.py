@@ -40,25 +40,21 @@ __all__ = ["decode_nb_minsum"]
 def _pairwise_conv(a, b, op: str):
     """(min, op)-convolution over XOR along the last axis.
 
-    a, b: [..., q] negative-log vectors.  out[k] = min_{i^j=k} op(a[i], b[j]).
-    Vectorized via the static XOR index table.
+    a, b: [..., q] negative-log vectors.  out[k] = min_{i^j=k} op(a[i], b[j])
+    = min_j op(a[k^j], b[j]).  Evaluated as q accumulation steps, each a
+    static XOR permutation of ``a`` (O(q²) work; XOR by a constant is an
+    involution, so the permutation is its own inverse).
     """
     q = a.shape[-1]
-    i = jnp.arange(q)[:, None]
-    j = jnp.arange(q)[None, :]
-    k = jnp.bitwise_xor(i, j)  # [q, q]
-    pair = (
-        a[..., :, None] + b[..., None, :]
-        if op == "sum"
-        else jnp.maximum(a[..., :, None], b[..., None, :])
-    )  # [..., q, q]
-    # scatter-min into out[k]: one-hot masked min over the q*q table
-    big = jnp.asarray(jnp.inf, a.dtype)
-    outs = []
-    for kk in range(q):
-        sel = jnp.where(k == kk, pair, big)
-        outs.append(jnp.min(sel, axis=(-2, -1)))
-    return jnp.stack(outs, axis=-1)
+    out = None
+    for j in range(q):
+        perm = jnp.arange(q) ^ j  # static: a[k^j] for all k
+        aj = a[..., perm]
+        term = aj + b[..., j : j + 1] if op == "sum" else jnp.maximum(
+            aj, b[..., j : j + 1]
+        )
+        out = term if out is None else jnp.minimum(out, term)
+    return out
 
 
 @functools.partial(
