@@ -441,9 +441,30 @@ def _run_distributed(args, code, qc, alist_name, snrs, rate, stop, T):
                 code, y, T, variant=variant, alpha=alpha, delta=delta,
                 early_termination=args.early_termination,
             )
+    elif args.decoder == "gdbf":
+        from ..channel.quantize import saturate as _sat
+        from ..decoders.gdbf import preset as _preset
+
+        cfg = _preset(
+            args.preset, num_iterations=T,
+            theta=args.theta[0] if args.theta[0] is not None else -0.9,
+            **{k: v for k, v in dict(
+                noise_scale=args.noise_scale[0],
+                lam=args.lam[0],
+                alpha=args.alpha[0],
+                window_size=args.window,
+                max_phases=args.max_phases,
+            ).items() if v is not None},
+        )
+        ymax = args.ymax[0]
+
+        def dec(y, sigma, key):
+            yq = _sat(y, ymax) if ymax is not None else y
+            return decode_gdbf(code, yq, sigma, cfg, key=key, qc=qc)
     else:
         raise SystemExit(
-            "sweep: error: --distributed supports bp and min-sum variants"
+            "sweep: error: --distributed supports bp, min-sum variants, "
+            "and gdbf"
         )
 
     stats_list = simulate_distributed(
@@ -453,6 +474,14 @@ def _run_distributed(args, code, qc, alist_name, snrs, rate, stop, T):
     for snr, st in zip(snrs, stats_list):
         if args.decoder == "bp":
             row = bp_log_row(snr, st, T, alist_name)
+        elif args.decoder == "gdbf":
+            row = gdbf_log_row(
+                snr, st, T, cfg.theta, alist_name,
+                noise_scale=cfg.noise_scale if cfg.add_noise else None,
+                lam=cfg.lam if cfg.threshold_adaptation else None,
+                alpha=cfg.alpha if cfg.weight_syndromes else None,
+                ymax=args.ymax[0],
+            )
         else:
             row = minsum_log_row(snr, st, T, alist_name)
         append_row(args.log, row)

@@ -294,3 +294,22 @@ def test_sweep_with_codeword_fixtures(tmp_path):
     assert rc == 0
     cols = log.read_text().strip().split("\t")
     assert float(cols[1]) < 0.05  # decodes real codewords at 5 dB
+
+
+def test_sweep_distributed_gdbf(tmp_path):
+    log = tmp_path / "dg.log"
+    rc = sweep_main(
+        [
+            "gdbf", "--preset", "SMNGDBF", "--code", "peg_96_48",
+            "--snr", "3.0,4.5", "-T", "30", "--theta", "-0.8",
+            "--noise-scale", "0.9", "--lam", "0.98", "--alpha", "0.75",
+            "--ymax", "2.5", "--distributed",
+            "--log", str(log), "--batch", "16",
+            "--min-errors", "10", "--min-word-errors", "2",
+            "--max-frames", "1024",
+        ]
+    )
+    assert rc == 0
+    rows = log.read_text().strip().splitlines()
+    assert len(rows) == 2
+    assert float(rows[0].split("\t")[1]) >= float(rows[1].split("\t")[1])
