@@ -1,0 +1,119 @@
+"""TPU compile-and-run smoke test for every decoder family.
+
+CPU CI cannot catch TPU-compiler regressions (e.g. the reduce-broadcast
+pattern that SIGSEGV'd the Mosaic/XLA compile helper in DD-BMP's original
+emission form).  Run this manually on the TPU after decoder changes:
+
+    python tpu_smoke.py
+
+Each check compiles and executes the decoder on a small batch and prints
+ok/FAIL; exits nonzero if anything fails.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main() -> int:
+    from ldpcsimulation_tpu.channel import llr_from_channel, snr_to_n0
+    from ldpcsimulation_tpu.channel.nb import symbol_priors
+    from ldpcsimulation_tpu.codes import build_code, make_regular_code
+    from ldpcsimulation_tpu.codes.construct import nb_regular
+    from ldpcsimulation_tpu.codes.qc import qc_peg
+    from ldpcsimulation_tpu.decoders import (
+        SystemCNGDBFConfig,
+        NGDBFHwConfig,
+        decode_bp,
+        decode_bp_layered_qc,
+        decode_bp_qc,
+        decode_ddbmp,
+        decode_gdbf,
+        decode_minsum,
+        decode_minsum_layered_qc,
+        decode_minsum_qc,
+        decode_nb_minsum,
+        decode_nb_qspa,
+        decode_ngdbf_hw,
+        decode_ngdbf_systemc,
+        preset,
+    )
+
+    print(f"device: {jax.devices()[0]}")
+    code = make_regular_code(96, 48, 3, seed=0)
+    qc = qc_peg(12, 6, 3, z=8, seed=3)
+    qcode = qc.to_code()
+    nb = build_code(nb_regular(24, 12, 3, q=8, seed=1))
+    key = jax.random.key(0)
+    y = jax.random.normal(key, (64, 96), jnp.float32) + 1.0
+    yq = jax.random.normal(key, (64, qc.n), jnp.float32) + 1.0
+    n0 = float(snr_to_n0(3.0, 0.5))
+    pri = symbol_priors(
+        1.0 + 0.4 * jax.random.normal(key, (16, 24, 3)), 0.3, 8
+    )
+
+    checks = [
+        ("minsum", lambda: decode_minsum(code, y, 5).hard),
+        ("minsum ET", lambda: decode_minsum(
+            code, y, 5, early_termination=True).hard),
+        ("minsum offset", lambda: decode_minsum(
+            code, y, 5, variant="offset", delta=0.2).hard),
+        ("bp", lambda: decode_bp(
+            code, llr_from_channel(y, n0), 5).hard),
+        ("minsum_qc", lambda: decode_minsum_qc(qc, yq, 5).hard),
+        ("minsum_qc f16", lambda: decode_minsum_qc(
+            qc, yq, 5, storage_dtype=jnp.float16).hard),
+        ("bp_qc", lambda: decode_bp_qc(
+            qc, llr_from_channel(yq, n0), 5).hard),
+        ("minsum layered", lambda: decode_minsum_layered_qc(
+            qc, yq, 5).hard),
+        ("bp layered", lambda: decode_bp_layered_qc(
+            qc, llr_from_channel(yq, n0), 5).hard),
+        ("gdbf SMNGDBF", lambda: decode_gdbf(
+            code, y, 0.5, preset("SMNGDBF", 10, -0.8), key=key).hard),
+        ("gdbf qc-ops", lambda: decode_gdbf(
+            qcode, yq, 0.5, preset("SMNGDBF", 10, -0.8), key=key, qc=qc
+        ).hard),
+        ("gdbf stochastic", lambda: decode_gdbf(
+            code, y, 0.5, preset("StochasticNGDBF", 10, -0.6), key=key
+        ).hard),
+        ("gdbf redecode", lambda: decode_gdbf(
+            code, y, 0.5, preset("RSMNGDBF", 5, -0.8, max_phases=2), key=key
+        ).hard),
+        ("ddbmp", lambda: decode_ddbmp(code, y, 10).hard),
+        ("ngdbf_hw", lambda: decode_ngdbf_hw(
+            code, y, 0.5, NGDBFHwConfig(num_iterations=10, ring_len=300),
+            key=key).hard),
+        ("ngdbf_hw 3ph", lambda: decode_ngdbf_hw(
+            code, y, 0.5,
+            NGDBFHwConfig(num_iterations=10, max_phases=3, ring_len=300),
+            key=key).hard),
+        ("ngdbf_systemc", lambda: decode_ngdbf_systemc(
+            code, y, 0.5, SystemCNGDBFConfig(10, -0.5), key=key).hard),
+        ("nb_qspa", lambda: decode_nb_qspa(nb, pri, 5).symbols),
+        ("nb_minsum", lambda: decode_nb_minsum(nb, pri, 5).symbols),
+        ("nb_minmax", lambda: decode_nb_minsum(
+            nb, pri, 5, variant="minmax").symbols),
+    ]
+    failed = []
+    for name, fn in checks:
+        try:
+            out = np.asarray(fn())
+            assert np.isfinite(out).all()
+            print(f"  ok   {name}")
+        except Exception as e:  # pragma: no cover
+            print(f"  FAIL {name}: {str(e)[:120]}")
+            failed.append(name)
+    if failed:
+        print(f"{len(failed)} failures: {failed}")
+        return 1
+    print(f"all {len(checks)} decoder paths compile and run")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
