@@ -100,3 +100,80 @@ def syndrome_from_hard(code: Code, d: jax.Array) -> jax.Array:
 def check_satisfied(code: Code, d: jax.Array) -> jax.Array:
     """[B] bool: all parity checks satisfied for each frame."""
     return jnp.all(syndrome_from_hard(code, d) > 0, axis=0)
+
+
+def _mask_last(act: jax.Array, new, old):
+    """Per-leaf masked update with the batch on the LAST axis of every
+    leaf: frozen frames keep their old state."""
+    return jax.tree.map(
+        lambda n, o: jnp.where(
+            act.reshape((1,) * (n.ndim - 1) + (-1,)), n, o
+        ),
+        new,
+        old,
+    )
+
+
+def run_flooding(
+    state0,
+    step,
+    decide,
+    satisfied_of,
+    num_iterations: int,
+    early_termination: bool,
+    batch: int,
+):
+    """Shared flooding-iteration driver used by the message-passing decoders.
+
+    state0: pytree of arrays with the batch on the LAST axis of every leaf.
+    step(state) -> state'            — one full decoder iteration.
+    decide(state) -> d               — hard decisions (batch last).
+    satisfied_of(d) -> [B] bool      — all-checks-satisfied per frame.
+
+    Without early termination (the reference BP/min-sum semantics,
+    ``decodeBP.cpp:206-213``): run exactly T iterations; ``iterations`` is
+    T for every frame and ``satisfied`` reflects the final state.
+
+    With early termination: a per-frame masked ``lax.while_loop`` — the
+    loop exits when every frame's syndrome passes (or at T), frozen frames
+    keep the first satisfying state, and ``iterations`` counts the update
+    rounds each frame actually used.
+
+    Returns (d, iterations [B] int32, satisfied [B] bool).
+    """
+    if not early_termination:
+        def body(_, st):
+            return step(st)
+
+        state = jax.lax.fori_loop(0, num_iterations, body, state0)
+        d = decide(state)
+        return (
+            d,
+            jnp.full((batch,), num_iterations, jnp.int32),
+            satisfied_of(d),
+        )
+
+    d0 = decide(state0)
+    done0 = satisfied_of(d0)
+
+    def cond(carry):
+        t, _st, _d, _iters, done = carry
+        return (t < num_iterations) & ~jnp.all(done)
+
+    def body(carry):
+        t, st, d, iters, done = carry
+        st_new = step(st)
+        d_new = decide(st_new)
+        act = ~done
+        st = _mask_last(act, st_new, st)
+        d = _mask_last(act, d_new, d)
+        iters = jnp.where(act, t + 1, iters)
+        done = done | satisfied_of(d)
+        return (t + 1, st, d, iters, done)
+
+    _t, _st, d, iters, done = jax.lax.while_loop(
+        cond,
+        body,
+        (jnp.int32(0), state0, d0, jnp.zeros((batch,), jnp.int32), done0),
+    )
+    return d, iters, done

@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from ..codes.qc import QCCode
-from .base import DecodeResult, sgn_pos
+from .base import DecodeResult, run_flooding, sgn_pos
 from .bp import MAXLLR, _phi
 from .minsum_qc import _vn_slot_index, qc_check_satisfied
 
@@ -88,38 +88,13 @@ def decode_bp_layered_qc(
     def decide(q):
         return jnp.where(q > 0, 1, -1).astype(jnp.int32)
 
-    if not early_termination:
-        def body(_, carry):
-            return one_iteration(*carry)
-
-        q, _l = jax.lax.fori_loop(0, num_iterations, body, (q0, l0))
-        d = decide(q)
-        return DecodeResult(
-            hard=d.reshape(n, b).T,
-            iterations=jnp.full((b,), num_iterations, jnp.int32),
-            satisfied=qc_check_satisfied(qc, d),
-        )
-
-    done0 = qc_check_satisfied(qc, decide(q0))
-    iters0 = jnp.zeros((b,), jnp.int32)
-
-    def cond(carry):
-        t, _q, _l, _iters, done = carry
-        return (t < num_iterations) & ~jnp.all(done)
-
-    def body(carry):
-        t, q, L, iters, done = carry
-        q_new, l_new = one_iteration(q, L)
-        act = ~done
-        q = jnp.where(act[None, None, :], q_new, q)
-        L = jnp.where(act[None, None, None, :], l_new, L)
-        iters = jnp.where(act, t + 1, iters)
-        done = done | qc_check_satisfied(qc, decide(q))
-        return (t + 1, q, L, iters, done)
-
-    _t, q, _l, iters, done = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), q0, l0, iters0, done0)
+    d, iters, done = run_flooding(
+        (q0, l0),
+        lambda st: one_iteration(*st),
+        lambda st: decide(st[0]),
+        lambda d: qc_check_satisfied(qc, d),
+        num_iterations, early_termination, b,
     )
     return DecodeResult(
-        hard=decide(q).reshape(n, b).T, iterations=iters, satisfied=done
+        hard=d.reshape(n, b).T, iterations=iters, satisfied=done
     )

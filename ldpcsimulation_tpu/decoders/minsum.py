@@ -37,6 +37,7 @@ from .base import (
     check_satisfied,
     gather_cn,
     gather_vn,
+    run_flooding,
     sgn_pos,
 )
 
@@ -142,51 +143,20 @@ def decode_minsum(
     # (decodeMinSum.cpp:364-370).
     v2c0 = jnp.repeat(y_t, code.dv_max, axis=0)
 
-    def one_iteration(v2c):
+    def step(st):
+        v2c, _d = st
         c2v = minsum_cn_update(code, v2c)
         if variant == "normalized":
             c2v = apply_normalization(c2v, alpha)
         elif variant == "offset":
             c2v = apply_offset(c2v, delta)
-        return vn_update(code, y_t, c2v)
+        v2c, _total, d = vn_update(code, y_t, c2v)
+        return (v2c, d)
 
-    if not early_termination:
-        # Reference behavior: all T iterations, unconditionally.
-        def body(_, carry):
-            v2c, _d = carry
-            v2c, _total, d = one_iteration(v2c)
-            return (v2c, d)
-
-        d0 = jnp.where(y_t > 0, 1, -1).astype(jnp.int32)
-        _v2c, d = jax.lax.fori_loop(0, num_iterations, body, (v2c0, d0))
-        return DecodeResult(
-            hard=d.T,
-            iterations=jnp.full((b,), num_iterations, jnp.int32),
-            satisfied=check_satisfied(code, d),
-        )
-
-    # Early termination (framework extension): per-frame active mask inside a
-    # while loop; converged frames freeze so their reported state is the one
-    # that first satisfied all checks.
     d0 = jnp.where(y_t > 0, 1, -1).astype(jnp.int32)
-    done0 = check_satisfied(code, d0)
-    iters0 = jnp.zeros((b,), jnp.int32)
-
-    def cond(carry):
-        t, _v2c, _d, _iters, done = carry
-        return (t < num_iterations) & ~jnp.all(done)
-
-    def body(carry):
-        t, v2c, d, iters, done = carry
-        v2c_new, _total, d_new = one_iteration(v2c)
-        act = ~done
-        v2c = jnp.where(act[None, :], v2c_new, v2c)
-        d = jnp.where(act[None, :], d_new, d)
-        iters = jnp.where(act, t + 1, iters)
-        done = done | check_satisfied(code, d)
-        return (t + 1, v2c, d, iters, done)
-
-    _t, _v2c, d, iters, done = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), v2c0, d0, iters0, done0)
+    d, iters, done = run_flooding(
+        (v2c0, d0), step, lambda st: st[1],
+        lambda d: check_satisfied(code, d),
+        num_iterations, early_termination, b,
     )
     return DecodeResult(hard=d.T, iterations=iters, satisfied=done)

@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from ..codes.qc import QCCode
-from .base import DecodeResult, sgn_pos
+from .base import DecodeResult, run_flooding, sgn_pos
 
 __all__ = ["decode_minsum_qc", "qc_check_satisfied"]
 
@@ -154,7 +154,8 @@ def decode_minsum_qc(
         ]
     )[:, :, None, None]
 
-    def one_iteration(v2c):
+    def step(st):
+        v2c, _d = st
         c2v = qc_cn_minsum(qc, v2c, variant, alpha, delta)
         c2v_acc = c2v.astype(y_t.dtype)
         total = yb + jnp.sum(c2v_acc, axis=1)  # [Nb, z, B]
@@ -162,42 +163,12 @@ def decode_minsum_qc(
             valid, (total[:, None] - c2v_acc).astype(sdt), jnp.zeros((), sdt)
         )
         d = jnp.where(total > 0, 1, -1).astype(jnp.int32)
-        return v2c_new, d
-
-    if not early_termination:
-        d0 = jnp.where(yb > 0, 1, -1).astype(jnp.int32)
-
-        def body(_, carry):
-            v2c, _d = carry
-            v2c, d = one_iteration(v2c)
-            return (v2c, d)
-
-        _v2c, d = jax.lax.fori_loop(0, num_iterations, body, (v2c0, d0))
-        return DecodeResult(
-            hard=d.reshape(n, b).T,
-            iterations=jnp.full((b,), num_iterations, jnp.int32),
-            satisfied=qc_check_satisfied(qc, d),
-        )
+        return (v2c_new, d)
 
     d0 = jnp.where(yb > 0, 1, -1).astype(jnp.int32)
-    done0 = qc_check_satisfied(qc, d0)
-    iters0 = jnp.zeros((b,), jnp.int32)
-
-    def cond(carry):
-        t, _v2c, _d, _iters, done = carry
-        return (t < num_iterations) & ~jnp.all(done)
-
-    def body(carry):
-        t, v2c, d, iters, done = carry
-        v2c_new, d_new = one_iteration(v2c)
-        act = ~done
-        v2c = jnp.where(act[None, None, None, :], v2c_new, v2c)
-        d = jnp.where(act[None, None, :], d_new, d)
-        iters = jnp.where(act, t + 1, iters)
-        done = done | qc_check_satisfied(qc, d)
-        return (t + 1, v2c, d, iters, done)
-
-    _t, _v2c, d, iters, done = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), v2c0, d0, iters0, done0)
+    d, iters, done = run_flooding(
+        (v2c0, d0), step, lambda st: st[1],
+        lambda d: qc_check_satisfied(qc, d),
+        num_iterations, early_termination, b,
     )
     return DecodeResult(hard=d.reshape(n, b).T, iterations=iters, satisfied=done)
