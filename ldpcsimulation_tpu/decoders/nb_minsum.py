@@ -32,6 +32,7 @@ import jax.numpy as jnp
 
 from ..codes.code import Code
 from ..codes.gf import gf_tables
+from .base import run_flooding
 from .nb_qspa import NBDecodeResult
 
 __all__ = ["decode_nb_minsum"]
@@ -162,39 +163,15 @@ def decode_nb_minsum(
     v2c0 = jnp.broadcast_to(
         nll[:, None], (code.n, code.dv_max, q, b)
     ).reshape(code.n * code.dv_max, q, b)
-    sym0 = decide(nll)
-    done0 = syndrome_ok(sym0)
-    iters0 = jnp.zeros((b,), jnp.int32)
 
-    if not early_termination:
-        def body(_, carry):
-            v2c, _sym = carry
-            v2c_new, post = vn_update(cn_update(v2c))
-            return (v2c_new, decide(post))
-
-        _v2c, sym = jax.lax.fori_loop(0, num_iterations, body, (v2c0, sym0))
-        return NBDecodeResult(
-            symbols=sym.T,
-            iterations=jnp.full((b,), num_iterations, jnp.int32),
-            satisfied=syndrome_ok(sym),
-        )
-
-    def cond(carry):
-        t, _v2c, _sym, _iters, done = carry
-        return (t < num_iterations) & ~jnp.all(done)
-
-    def body(carry):
-        t, v2c, sym, iters, done = carry
+    def step(st):
+        v2c, _sym = st
         v2c_new, post = vn_update(cn_update(v2c))
-        sym_new = decide(post)
-        act = ~done
-        v2c = jnp.where(act[None, None, :], v2c_new, v2c)
-        sym = jnp.where(act[None, :], sym_new, sym)
-        iters = jnp.where(act, t + 1, iters)
-        done = done | syndrome_ok(sym)
-        return (t + 1, v2c, sym, iters, done)
+        return (v2c_new, decide(post))
 
-    _t, _v2c, sym, iters, done = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), v2c0, sym0, iters0, done0)
+    sym0 = decide(nll)
+    sym, iters, done = run_flooding(
+        (v2c0, sym0), step, lambda st: st[1], syndrome_ok,
+        num_iterations, early_termination, b,
     )
     return NBDecodeResult(symbols=sym.T, iterations=iters, satisfied=done)

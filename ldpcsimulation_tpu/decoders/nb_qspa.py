@@ -35,6 +35,7 @@ import numpy as np
 
 from ..codes.code import Code
 from ..codes.gf import gf_tables
+from .base import run_flooding
 
 __all__ = ["NBDecodeResult", "decode_nb_qspa", "wht"]
 
@@ -183,41 +184,16 @@ def decode_nb_qspa(
     v2c0 = jnp.broadcast_to(
         pri[:, None], (code.n, code.dv_max, q, b)
     ).reshape(code.n * code.dv_max, q, b)
-    sym0 = decide(log_pri)
-    done0 = syndrome_ok(sym0)
-    iters0 = jnp.zeros((b,), jnp.int32)
 
-    if not early_termination:
-        def body(_, carry):
-            v2c, _sym = carry
-            c2v = cn_update(v2c)
-            v2c, log_post = vn_update(c2v)
-            return (v2c, decide(log_post))
-
-        _v2c, sym = jax.lax.fori_loop(0, num_iterations, body, (v2c0, sym0))
-        return NBDecodeResult(
-            symbols=sym.T,
-            iterations=jnp.full((b,), num_iterations, jnp.int32),
-            satisfied=syndrome_ok(sym),
-        )
-
-    def cond(carry):
-        t, _v2c, _sym, _iters, done = carry
-        return (t < num_iterations) & ~jnp.all(done)
-
-    def body(carry):
-        t, v2c, sym, iters, done = carry
+    def step(st):
+        v2c, _sym = st
         c2v = cn_update(v2c)
-        v2c_new, log_post = vn_update(c2v)
-        sym_new = decide(log_post)
-        act = ~done
-        v2c = jnp.where(act[None, None, :], v2c_new, v2c)
-        sym = jnp.where(act[None, :], sym_new, sym)
-        iters = jnp.where(act, t + 1, iters)
-        done = done | syndrome_ok(sym)
-        return (t + 1, v2c, sym, iters, done)
+        v2c, log_post = vn_update(c2v)
+        return (v2c, decide(log_post))
 
-    _t, _v2c, sym, iters, done = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), v2c0, sym0, iters0, done0)
+    sym0 = decide(log_pri)
+    sym, iters, done = run_flooding(
+        (v2c0, sym0), step, lambda st: st[1], syndrome_ok,
+        num_iterations, early_termination, b,
     )
     return NBDecodeResult(symbols=sym.T, iterations=iters, satisfied=done)
