@@ -13,9 +13,9 @@
    ``sgn(0) = -1``, which is invisible here since the magnitude is 0.
 
 3. :func:`quantize_threshold_table` — SystemC style
-   (``SystemC/NGDBF/inc/ldpcsim.h:85-117``): Nq-level mid-rise quantizer
-   defined by a threshold table; output levels are
-   ``-Ymax + (i + 0.5) * 2*Ymax/Nq`` for bin i.
+   (``SystemC/NGDBF/inc/ldpcsim.h:85-117``): Nq-*level* quantizer with
+   endpoint-included output levels ``-Ymax + i * 2*Ymax/(Nq-1)`` for
+   i = 0..Nq-1 and thresholds at the midpoints between adjacent levels.
 
 Saturation (``-D saturateSamples``, e.g. ``decodeGDBF.cpp:263-267``) is a
 plain clip and composes with any of the above.
@@ -24,6 +24,7 @@ plain clip and composes with any of the above.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 __all__ = [
     "quantize_no_zero",
@@ -79,13 +80,22 @@ def quantize_threshold_table(x, ymax, nq_levels):
     included); thresholds are the midpoints, and the comparison is strict
     (``if (Y > qthresholds[i]) k = i+1``), so a value exactly on a threshold
     takes the *lower* level.
+
+    Implemented exactly as the reference does — an explicit threshold table
+    and a strict-compare count — so the tie behavior is epsilon-free: any
+    float that the reference's ``Y > qthresholds[i]`` classifies low is
+    classified low here too, with no derived ceil/round arithmetic to drift.
     """
     x = jnp.asarray(x)
     delta = 2.0 * ymax / (nq_levels - 1.0)
-    t0 = -ymax + 0.5 * delta  # first threshold (midpoint of L0, L1)
-    # number of thresholds strictly below x: ceil((x - t0)/delta) clipped
-    k = jnp.clip(jnp.ceil((x - t0) / delta), 0, nq_levels - 1)
-    # exact-threshold inputs must round down: x == t0 + j*delta -> k = j
-    on_thresh = (x - t0) / delta
-    k = jnp.where(on_thresh == jnp.round(on_thresh), jnp.clip(jnp.round(on_thresh), 0, nq_levels - 1), k)
-    return (-ymax + k * delta).astype(x.dtype)
+    # ldpcsim.h:91: qthresholds[i] = -Ymax*(Nq-2)/(Nq-1) + i*2*Ymax/(Nq-1)
+    thresholds = (
+        -ymax * (nq_levels - 2.0) / (nq_levels - 1.0)
+        + np.arange(nq_levels - 1) * delta
+    )
+    # ldpcsim.h:92-94: qvalues[i] = -Ymax + i*delta, last pinned to +Ymax
+    values = np.concatenate([-ymax + np.arange(nq_levels - 1) * delta, [ymax]])
+    k = jnp.sum(
+        x[..., None] > jnp.asarray(thresholds, x.dtype), axis=-1
+    )
+    return jnp.asarray(values, x.dtype)[k]

@@ -75,6 +75,33 @@ class Code:
     def rate(self) -> float:
         return self.k / self.n
 
+    def true_k(self) -> int:
+        """Rank-aware information length n − rank(H).
+
+        The reference's ``802_3_H.alist`` ships 384 rows of rank 325, so the
+        nominal ``k``/``rate`` understate the real code there (the reference
+        scripts hard-code rate 0.8413 for the same reason).  Computed by
+        GF(2) elimination on first use and cached on the instance.
+        """
+        cached = self.__dict__.get("_true_k")
+        if cached is None:
+            from .encode import gf2_rref
+
+            h = np.zeros((self.m, self.n), np.uint8)
+            cn_vn = np.asarray(self.cn_vn)
+            cn_mask = np.asarray(self.cn_mask)
+            rows = np.repeat(np.arange(self.m), self.dc_max)
+            keep = cn_mask.reshape(-1)
+            h[rows[keep], cn_vn.reshape(-1)[keep]] = 1
+            _, pivots, _ = gf2_rref(h)
+            cached = self.n - len(pivots)
+            object.__setattr__(self, "_true_k", cached)
+        return cached
+
+    def true_rate(self) -> float:
+        """Rank-aware code rate ``true_k() / n`` (see :meth:`true_k`)."""
+        return self.true_k() / self.n
+
     @property
     def vn_slots(self) -> int:
         return self.n * self.dv_max

@@ -61,6 +61,23 @@ jax.tree_util.register_dataclass(
 )
 
 
+def vma_like(x, ref):
+    """Give ``x`` the varying-manual-axes (vma) type of ``ref`` without
+    changing its value.
+
+    Under ``shard_map(..., check_vma=True)`` a ``while_loop``/``fori_loop``
+    carry init built from constants (``jnp.zeros``/``full``) is
+    mesh-constant, but the body's masked updates make the output
+    data-varying — a type mismatch.  Adding a varying zero derived from a
+    per-device input fixes the type axis-name-agnostically; outside a mesh
+    it is a no-op the compiler folds away.
+    """
+    z = ref.astype(jnp.int32).ravel()[0] * 0
+    if x.dtype == jnp.bool_:
+        return x | (z != 0)
+    return x + z.astype(x.dtype)
+
+
 def sgn_pos(x):
     """sgn(0) = +1 convention (BP/min-sum/DDBMP)."""
     return jnp.where(x >= 0, 1.0, -1.0).astype(x.dtype)
@@ -171,9 +188,13 @@ def run_flooding(
         done = done | satisfied_of(d)
         return (t + 1, st, d, iters, done)
 
+    # Derive the iteration-count init from done0 (not fresh zeros) so its
+    # varying-manual-axes type matches the body output under shard_map's
+    # check_vma — the body's masked update makes it data-varying.
+    iters0 = done0.astype(jnp.int32) * 0
     _t, _st, d, iters, done = jax.lax.while_loop(
         cond,
         body,
-        (jnp.int32(0), state0, d0, jnp.zeros((batch,), jnp.int32), done0),
+        (jnp.int32(0), state0, d0, iters0, done0),
     )
     return d, iters, done

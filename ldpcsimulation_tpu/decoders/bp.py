@@ -95,7 +95,10 @@ def decode_bp(
     early_termination: bool = False,
 ) -> DecodeResult:
     """Batched flooding sum-product decode.  llr: [B, N] channel LLRs."""
-    llr_t = jnp.asarray(llr).T  # [N, B]
+    # Input clamp (decodeBP.cpp:188-191): without it, |llr| ≳ 89 makes
+    # phi(|m|) underflow to exactly 0 in f32, a later phi(0)=inf appears in
+    # the exclusion sums, and total − self produces inf − inf = NaN.
+    llr_t = jnp.clip(jnp.asarray(llr).T, -max_llr, max_llr)  # [N, B]
     b = llr_t.shape[1]
     v2c0 = jnp.repeat(llr_t, code.dv_max, axis=0)
 

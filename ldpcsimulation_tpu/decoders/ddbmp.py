@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from ..codes.code import Code
-from .base import DecodeResult, check_satisfied, gather_cn, gather_vn, sgn_pos
+from .base import DecodeResult, check_satisfied, gather_cn, gather_vn, sgn_pos, vma_like
 
 __all__ = ["decode_ddbmp"]
 
@@ -77,8 +77,8 @@ def decode_ddbmp(
         jnp.int32(0),
         mem0,
         d0,
-        jnp.full((b,), num_iterations, jnp.int32),
-        jnp.zeros((b,), bool),
+        vma_like(jnp.full((b,), num_iterations, jnp.int32), d0),
+        vma_like(jnp.zeros((b,), bool), d0),
     )
 
     def cond(carry):

@@ -56,7 +56,12 @@ import jax.numpy as jnp
 
 from ..codes.code import Code
 from ..codes.qc import QCCode
-from .base import syndrome_from_hard
+from .base import syndrome_from_hard, vma_like
+from .dense_ops import (
+    DenseGraph,
+    dense_syndrome_bipolar,
+    dense_syndrome_sum_per_vn,
+)
 from .qc_ops import qc_syndrome_bipolar, qc_syndrome_sum_per_vn
 
 __all__ = ["GDBFConfig", "GDBFResult", "decode_gdbf", "PRESETS", "preset"]
@@ -173,6 +178,7 @@ def decode_gdbf(
     perturbations: Optional[jax.Array] = None,
     qc: Optional[QCCode] = None,
     stoch_uniforms: Optional[jax.Array] = None,
+    dense: Optional[DenseGraph] = None,
 ) -> GDBFResult:
     """Batched GDBF-family decode.
 
@@ -187,11 +193,17 @@ def decode_gdbf(
     qc: optional QC structure of the SAME code — switches the two graph
     operations (syndrome, per-VN syndrome sum) to static rolls
     (bit-identical, much faster on TPU for large codes).
+    dense: optional :class:`.dense_ops.DenseGraph` of the SAME code —
+    switches the two graph operations to MXU matmuls (bit-identical; the
+    fast path for unstructured codes like the 802.3an RS-LDPC where no
+    circulant structure exists).  Ignored when ``qc`` is given.
     stoch_uniforms: optional [max_phases*T, N, B] pre-drawn uniform(0,1)
     draws for the stochastic flip decisions (replay/cross-validation).
     """
     if qc is not None and (qc.n != code.n or qc.m != code.m):
         raise ValueError("qc structure does not match code dimensions")
+    if dense is not None and (dense.n != code.n or dense.m != code.m):
+        raise ValueError("dense graph does not match code dimensions")
     if (
         (cfg.add_noise and perturbations is None)
         or (cfg.quantize_probabilities and stoch_uniforms is None)
@@ -215,20 +227,20 @@ def decode_gdbf(
     def fresh_phase_state():
         return dict(
             d=r,
-            thetas=jnp.full((n, b), theta0, dtype),
-            dsum=jnp.zeros((n, b), jnp.int32),
-            mu=jnp.full((b,), mu0, jnp.int32),
+            thetas=vma_like(jnp.full((n, b), theta0, dtype), r),
+            dsum=vma_like(jnp.zeros((n, b), jnp.int32), r),
+            mu=vma_like(jnp.full((b,), mu0, jnp.int32), r),
         )
 
     init = dict(
         step=jnp.int32(0),
         **fresh_phase_state(),
-        noise_prev=jnp.zeros((n, b), dtype),
-        done=jnp.zeros((b,), bool),
-        iters=jnp.full((b,), total_steps, jnp.int32),
-        phases=jnp.full((b,), cfg.max_phases, jnp.int32),
-        smooth_used=jnp.zeros((b,), jnp.int32),
-        sat_at_exit=jnp.zeros((b,), bool),
+        noise_prev=vma_like(jnp.zeros((n, b), dtype), r),
+        done=vma_like(jnp.zeros((b,), bool), r),
+        iters=vma_like(jnp.full((b,), total_steps, jnp.int32), r),
+        phases=vma_like(jnp.full((b,), cfg.max_phases, jnp.int32), r),
+        smooth_used=vma_like(jnp.zeros((b,), jnp.int32), r),
+        sat_at_exit=vma_like(jnp.zeros((b,), bool), r),
     )
 
     def cond(st):
@@ -263,6 +275,8 @@ def decode_gdbf(
         # --- syndrome check at iteration start (decodeGDBF.cpp:300-306)
         if qc is not None:
             syn = qc_syndrome_bipolar(qc, d)  # [M, B] bipolar
+        elif dense is not None:
+            syn = dense_syndrome_bipolar(dense, d)
         else:
             syn = syndrome_from_hard(code, d)
         satisfied = jnp.all(syn > 0, axis=0)
@@ -306,11 +320,12 @@ def decode_gdbf(
                     pert = sample
 
         # --- flip metric E_i (decodeGDBF.cpp:536-560)
-        syn_sum_vn = (
-            qc_syndrome_sum_per_vn(qc, syn.astype(dtype))
-            if qc is not None
-            else _syndrome_sum_per_vn(code, syn)
-        )
+        if qc is not None:
+            syn_sum_vn = qc_syndrome_sum_per_vn(qc, syn.astype(dtype))
+        elif dense is not None:
+            syn_sum_vn = dense_syndrome_sum_per_vn(dense, syn)
+        else:
+            syn_sum_vn = _syndrome_sum_per_vn(code, syn)
         e = d.astype(dtype) * y_t + w * syn_sum_vn + pert
 
         # --- flip decisions

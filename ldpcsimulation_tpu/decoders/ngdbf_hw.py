@@ -51,6 +51,8 @@ import jax
 import jax.numpy as jnp
 
 from ..codes.code import Code
+from .base import vma_like
+from .dense_ops import DenseGraph, dense_sat_sum_per_vn, dense_syndrome01
 
 __all__ = [
     "NGDBFHwConfig",
@@ -132,6 +134,7 @@ def decode_ngdbf_hw(
     true_bits: Optional[jax.Array] = None,
     qpointer0: Optional[jax.Array] = None,
     ring_noise: Optional[jax.Array] = None,
+    dense: Optional[DenseGraph] = None,
 ) -> NGDBFHwResult:
     """Batched fixed-point NGDBF decode.
 
@@ -141,7 +144,12 @@ def decode_ngdbf_hw(
     default).  qpointer0: [B] initial ring offsets (0 if None).
     ring_noise: optional [ring_len, B] pre-drawn raw noise samples
     (σ·noiseScale·n) for replay/cross-validation; overrides the key draw.
+    dense: optional :class:`.dense_ops.DenseGraph` of the SAME code — MXU
+    matmul graph ops (bit-identical; the fast path for the real 802.3an H,
+    which has no circulant structure).
     """
+    if dense is not None and (dense.n != code.n or dense.m != code.m):
+        raise ValueError("dense graph does not match code dimensions")
     y_t = jnp.asarray(y, jnp.float32).T  # [N, B]
     n, b = y_t.shape
     T = cfg.num_iterations
@@ -187,6 +195,8 @@ def decode_ngdbf_hw(
 
     def syndrome01(d):
         """[M, B] {0,1} syndrome, 0 = satisfied (NGDBFhw.cpp:546-563)."""
+        if dense is not None:
+            return dense_syndrome01(dense, d)
         vals = jnp.take(1 - 2 * d, code.cn_vn.reshape(-1), axis=0).reshape(
             code.m, code.dc_max, b
         )
@@ -196,12 +206,12 @@ def decode_ngdbf_hw(
 
     init = dict(
         d=d_init,
-        qptr=qptr0,
-        frozen=jnp.zeros((b,), bool),  # satisfied within current phase
-        least_iters=jnp.full((b,), T, jnp.int32),
-        least_errs=jnp.full((b,), n, jnp.int32),
+        qptr=vma_like(qptr0, d_init),
+        frozen=vma_like(jnp.zeros((b,), bool), d_init),
+        least_iters=vma_like(jnp.full((b,), T, jnp.int32), d_init),
+        least_errs=vma_like(jnp.full((b,), n, jnp.int32), d_init),
         best_d=d_init,
-        phase_iters=jnp.full((b,), T, jnp.int32),
+        phase_iters=vma_like(jnp.full((b,), T, jnp.int32), d_init),
     )
 
     def phase_end(st):
@@ -239,13 +249,18 @@ def decode_ngdbf_hw(
         act = ~frozen
 
         # symbol update (NGDBFhw.cpp:565-593)
-        sat_neighbors = jnp.take(
-            1 - syn, code.vn_cn.reshape(-1), axis=0
-        ).reshape(n, code.dv_max, b)
-        sat_neighbors = jnp.where(
-            code.vn_mask[:, :, None], sat_neighbors, jnp.zeros_like(sat_neighbors)
-        )
-        ssum = jnp.sum(sat_neighbors, axis=1)  # [N, B]
+        if dense is not None:
+            ssum = dense_sat_sum_per_vn(dense, syn)  # [N, B]
+        else:
+            sat_neighbors = jnp.take(
+                1 - syn, code.vn_cn.reshape(-1), axis=0
+            ).reshape(n, code.dv_max, b)
+            sat_neighbors = jnp.where(
+                code.vn_mask[:, :, None],
+                sat_neighbors,
+                jnp.zeros_like(sat_neighbors),
+            )
+            ssum = jnp.sum(sat_neighbors, axis=1)  # [N, B]
         if cfg.max_phases == 1 and qpointer0 is None:
             # Single phase: a frame's qpointer only diverges from the global
             # iteration count after it freezes, and frozen frames never use

@@ -39,7 +39,7 @@ import jax.numpy as jnp
 
 from ..channel.quantize import quantize_threshold_table
 from ..codes.code import Code
-from .base import DecodeResult, syndrome_from_hard
+from .base import DecodeResult, syndrome_from_hard, vma_like
 
 __all__ = ["SystemCNGDBFConfig", "decode_ngdbf_systemc"]
 
@@ -93,10 +93,10 @@ def decode_ngdbf_systemc(
 
     init = dict(
         x=x0,
-        theta=jnp.full((n, b), cfg.theta, jnp.float32),
-        updown=jnp.zeros((n, b), jnp.int32),
-        done=jnp.zeros((b,), bool),
-        iters=jnp.full((b,), T, jnp.int32),
+        theta=vma_like(jnp.full((n, b), cfg.theta, jnp.float32), x0),
+        updown=vma_like(jnp.zeros((n, b), jnp.int32), x0),
+        done=vma_like(jnp.zeros((b,), bool), x0),
+        iters=vma_like(jnp.full((b,), T, jnp.int32), x0),
         k=jnp.int32(0),
     )
 

@@ -41,13 +41,18 @@ __all__ = [
 
 
 def init_distributed(**kwargs) -> None:
-    """Initialize multi-host JAX (no-op if single-process)."""
-    if jax.process_count() > 1 or kwargs:
+    """Initialize multi-host JAX (``jax.distributed.initialize`` wrapper).
+
+    Pass the usual coordinator kwargs (``coordinator_address``,
+    ``num_processes``, ``process_id``, ...) for an explicit cluster, or
+    nothing to let JAX auto-detect (TPU pod metadata / cluster env vars).
+    Idempotent: a second call on an already-initialized cluster is a no-op.
+    Failures propagate — a cluster that cannot form is an error, not
+    something to silently run single-host over.
+    """
+    if jax.distributed.is_initialized():
         return
-    try:
-        jax.distributed.initialize(**kwargs)
-    except Exception:
-        pass  # already initialized or single-host
+    jax.distributed.initialize(**kwargs)
 
 
 def make_mesh(
@@ -166,9 +171,6 @@ def make_counters_step(
             mesh=mesh,
             in_specs=(P(), P("snr", "data"), P("snr")),
             out_specs=out_specs,
-            # decoder while_loops carry mesh-constant inits that become
-            # varying after the first masked update; skip the vma check
-            check_vma=False,
         )(root_key, bits, sigmas_arr)
         return out
 

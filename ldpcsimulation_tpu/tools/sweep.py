@@ -55,6 +55,17 @@ from ..harness.fixtures import load_codeword_file
 __all__ = ["main", "build_parser"]
 
 
+def _grid_key(point) -> str:
+    """Canonical resume key for one cartesian grid point (None -> '-')."""
+    return "|".join("-" if v is None else fmt(v) for v in point)
+
+
+def _mark_done(log: str, key: str) -> None:
+    """Record a completed grid point in the '<log>.done' resume sidecar."""
+    with open(log + ".done", "a") as f:
+        f.write(key + "\n")
+
+
 def _parse_snr(spec: str) -> List[float]:
     """"a:b:step" inclusive grid, or a single value, or comma list."""
     try:
@@ -125,9 +136,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="fixed frame count for ngdbfhw")
     p.add_argument(
         "--resume", action="store_true",
-        help="skip grid points whose SNR already has a row in the log "
-             "(the reference's interrupted-sweep recovery: append-only "
-             "logs, idempotent rows keyed by operating point)",
+        help="skip grid points already recorded in the '<log>.done' "
+             "sidecar, keyed by the full operating-point tuple (the "
+             "reference's interrupted-sweep recovery: append-only logs, "
+             "idempotent rows); legacy sidecar-less logs resume by SNR "
+             "column for SNR-only grids",
     )
     return p
 
@@ -173,6 +186,16 @@ def main(argv: Optional[List[str]] = None) -> int:
         max_frames=args.max_frames,
     )
 
+    # Unstructured codes (no QC fast path) get the dense MXU graph ops for
+    # the bit-flip decoders when H is small enough to pay off — this is how
+    # the reference's own 802.3an RS-LDPC avoids the gather-bound path.
+    dense = None
+    if qc is None and args.decoder in ("gdbf", "ngdbfhw"):
+        from ..decoders.dense_ops import DenseGraph, dense_worthwhile
+
+        if dense_worthwhile(code):
+            dense = DenseGraph.from_code(code)
+
     def run_point(snr, decode_fn, preprocess=None, stop_override=None):
         return simulate(
             code,
@@ -197,21 +220,46 @@ def main(argv: Optional[List[str]] = None) -> int:
             args.theta, args.noise_scale, args.lam, args.w, args.theta0,
         )
     )
+    # --resume keys completed points on the FULL operating-point tuple (SNR
+    # plus every grid parameter), recorded in a "<log>.done" sidecar so the
+    # reference log-row format stays untouched.  Legacy logs without a
+    # sidecar resume by SNR column only when the grid is SNR-only —
+    # otherwise skipping by SNR would silently drop unexplored parameter
+    # combinations at an already-logged SNR.
     done_keys = set()
     if args.resume:
         try:
-            with open(args.log) as f:
-                for line in f:
-                    cols = line.split("\t")
-                    if cols:
-                        done_keys.add(cols[0])
+            with open(args.log + ".done") as f:
+                done_keys.update(line.rstrip("\n") for line in f)
         except FileNotFoundError:
-            pass
-    for (snr, ymax, nq, alpha, delta, theta, nscale, lam, w, theta0) in grid:
-        if args.resume and fmt(snr) in done_keys:
+            snr_only = len({point[1:] for point in grid}) == 1
+            if snr_only:
+                by_snr = {fmt(point[0]): _grid_key(point) for point in grid}
+                try:
+                    with open(args.log) as f:
+                        for line in f:
+                            cols = line.split("\t")
+                            if cols and cols[0] in by_snr:
+                                done_keys.add(by_snr[cols[0]])
+                except FileNotFoundError:
+                    pass
+            else:
+                print(
+                    "sweep: --resume found no sidecar "
+                    f"{args.log}.done; multi-parameter grid will re-run "
+                    "all points",
+                    file=sys.stderr,
+                )
+    for point in grid:
+        (snr, ymax, nq, alpha, delta, theta, nscale, lam, w, theta0) = point
+        gkey = _grid_key(point)
+        if args.resume and gkey in done_keys:
             rows += 1
-            print(f"[{rows}/{len(grid)}] SNR={snr} already logged, skipping",
-                  file=sys.stderr)
+            print(
+                f"[{rows}/{len(grid)}] SNR={snr} point already logged, "
+                "skipping",
+                file=sys.stderr,
+            )
             continue
         n0 = float(snr_to_n0(snr, rate))
         sigma = float(snr_to_sigma(snr, rate))
@@ -313,7 +361,7 @@ def main(argv: Optional[List[str]] = None) -> int:
             stats = run_point(
                 snr,
                 lambda yq, key: decode_gdbf(
-                    code, yq, sigma, cfg, key=key, qc=qc
+                    code, yq, sigma, cfg, key=key, qc=qc, dense=dense
                 ),
                 preprocess=pre,
             )
@@ -353,6 +401,7 @@ def main(argv: Optional[List[str]] = None) -> int:
                 )
             ) + f"\t{alist_name}"
             append_row(args.log, row)
+            _mark_done(args.log, gkey)
             rows += 1
             print(
                 f"[{rows}/{len(grid)}] SNR={snr} SER={nb_stats.ser:.4g} "
@@ -374,7 +423,9 @@ def main(argv: Optional[List[str]] = None) -> int:
             # NGDBFhw runs a fixed frame count (NGDBFhw.cpp:193)
             stats = run_point(
                 snr,
-                lambda y, key: decode_ngdbf_hw(code, y, sigma, cfg, key=key),
+                lambda y, key: decode_ngdbf_hw(
+                    code, y, sigma, cfg, key=key, dense=dense
+                ),
                 stop_override=StopRule.fixed_frames(args.frames),
             )
             row = ngdbfhw_log_row(
@@ -387,6 +438,7 @@ def main(argv: Optional[List[str]] = None) -> int:
                 for idx, v in enumerate(cdf):
                     f.write(f"{idx}\t{v:.6g}\n")
         append_row(args.log, row)
+        _mark_done(args.log, gkey)
         rows += 1
         print(
             f"[{rows}/{len(grid)}] SNR={snr} BER={stats.ber:.4g} "
@@ -457,10 +509,19 @@ def _run_distributed(args, code, qc, alist_name, snrs, rate, stop, T):
             ).items() if v is not None},
         )
         ymax = args.ymax[0]
+        from ..decoders.dense_ops import DenseGraph, dense_worthwhile
+
+        dense = (
+            DenseGraph.from_code(code)
+            if qc is None and dense_worthwhile(code)
+            else None
+        )
 
         def dec(y, sigma, key):
             yq = _sat(y, ymax) if ymax is not None else y
-            return decode_gdbf(code, yq, sigma, cfg, key=key, qc=qc)
+            return decode_gdbf(
+                code, yq, sigma, cfg, key=key, qc=qc, dense=dense
+            )
     else:
         raise SystemExit(
             "sweep: error: --distributed supports bp, min-sum variants, "

@@ -1,0 +1,79 @@
+"""Worker process for the real multi-process jax.distributed test.
+
+Each worker joins a CPU cluster via ``init_distributed`` (coordinator
+kwargs — the path VERDICT r1 flagged as never exercised), builds the global
+("snr", "data") mesh over *all* processes' devices, runs one
+``make_counters_step`` batch, and process 0 dumps the psum-reduced counters
+as JSON.  The parent test compares them bit-for-bit against a
+single-process run with the same global device count and root key: the
+per-device RNG streams fold in mesh coordinates, not process ids, so the
+process decomposition must be invisible in the statistics.
+
+Usage: python distributed_worker.py PORT NPROC PID DEVS_PER_PROC OUT.json
+"""
+
+import json
+import os
+import sys
+
+port, nproc, pid, devs_per_proc, out_path = sys.argv[1:6]
+nproc, pid, devs_per_proc = int(nproc), int(pid), int(devs_per_proc)
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = (
+    f"--xla_force_host_platform_device_count={devs_per_proc}"
+)
+os.environ["JAX_ENABLE_X64"] = "1"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np  # noqa: E402
+from jax.sharding import NamedSharding, PartitionSpec as P  # noqa: E402
+
+from ldpcsimulation_tpu.codes import make_regular_code  # noqa: E402
+from ldpcsimulation_tpu.decoders.minsum import decode_minsum  # noqa: E402
+from ldpcsimulation_tpu.parallel.mesh import (  # noqa: E402
+    init_distributed,
+    make_counters_step,
+    make_mesh,
+)
+
+init_distributed(
+    coordinator_address=f"localhost:{port}",
+    num_processes=nproc,
+    process_id=pid,
+)
+assert jax.process_count() == nproc, jax.process_count()
+assert len(jax.devices()) == nproc * devs_per_proc
+
+code = make_regular_code(96, 48, 3, seed=0)
+mesh = make_mesh(n_snr=1)
+step = make_counters_step(
+    code,
+    lambda y, sigma, key: decode_minsum(code, y, 10, early_termination=True),
+    mesh,
+    sigmas=[0.6],
+    batch_per_device=16,
+    max_iterations=10,
+)
+
+sharding = NamedSharding(mesh, P("snr", "data"))
+shape = (1, step.batch_global, code.n)
+bits = jax.make_array_from_callback(
+    shape, sharding, lambda idx: np.zeros(np.empty(shape)[idx].shape, np.uint8)
+)
+# old-style uint32 key: passed as a replicated host array on every process
+root_key = np.asarray(jax.random.PRNGKey(7))
+
+out = step(root_key, bits)
+# n_snr == 1, so every process's addressable shard is the full [1]-vector
+local = {
+    k: np.asarray(v.addressable_data(0)).tolist() for k, v in out.items()
+}
+if pid == 0:
+    with open(out_path, "w") as f:
+        json.dump(local, f)
+print(f"worker {pid} ok", flush=True)

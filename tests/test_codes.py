@@ -213,3 +213,25 @@ def test_load_reference_dvbs2_alist():
     assert a.num_edges == sum(a.dv)
     code = build_code(a)
     assert code.n == 64800
+
+
+def test_true_rate_full_rank():
+    """For a full-rank H, true_k == nominal k (and the value is cached)."""
+    from ldpcsimulation_tpu.codes import make_regular_code
+
+    code = make_regular_code(96, 48, 3, seed=0)
+    tk = code.true_k()
+    assert tk <= code.k
+    assert code.true_k() is tk or code.true_k() == tk  # cached path
+    assert code.true_rate() == tk / code.n
+
+
+def test_true_rate_redundant_rows_802_3():
+    """The reference's 802_3_H.alist has redundant rows (384 rows, rank 325)
+    — nominal rate is wrong there, true_rate() gives the real one
+    (the reference scripts hard-code R=0.8413 for the same reason)."""
+    p = require_reference("C_implementations/codes/802_3/802_3_H.alist")
+    code = build_code(load_alist(p))
+    assert code.true_k() == 2048 - 325
+    assert abs(code.true_rate() - 0.8413) < 2e-4
+    assert code.rate != code.true_rate()

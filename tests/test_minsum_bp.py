@@ -247,3 +247,18 @@ def test_bp_decodes_noisy_codeword():
     res = decode_bp(code, llr, num_iterations=30, early_termination=True)
     hard = np.asarray(res.hard)
     assert (hard == 1).all(axis=1).mean() > 0.9
+
+
+def test_bp_clamps_extreme_input_llrs(small_code):
+    """decodeBP.cpp:188-191 clamps input LLRs to ±MAXLLR; without the clamp
+    |llr| ≳ 89 makes phi underflow to 0 in f32 and a later phi(0)=inf turns
+    total − self into NaN.  Extreme inputs must decode like clamped ones."""
+    _, small_code = small_code
+    llr = np.full((2, small_code.n), 1000.0, np.float32)
+    llr[0, 0] = -500.0  # one flipped bit, absurd confidence
+    out = decode_bp(small_code, jnp.asarray(llr), num_iterations=5)
+    assert not np.any(np.isnan(np.asarray(out.hard)))
+    ref = decode_bp(
+        small_code, jnp.clip(jnp.asarray(llr), -20, 20), num_iterations=5
+    )
+    np.testing.assert_array_equal(np.asarray(out.hard), np.asarray(ref.hard))

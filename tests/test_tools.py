@@ -313,3 +313,50 @@ def test_sweep_distributed_gdbf(tmp_path):
     rows = log.read_text().strip().splitlines()
     assert len(rows) == 2
     assert float(rows[0].split("\t")[1]) >= float(rows[1].split("\t")[1])
+
+
+def test_sweep_resume_multi_parameter_grid(tmp_path):
+    """--resume keys completed points on the FULL operating-point tuple via
+    the <log>.done sidecar: after a 1x2 (snr x ymax) run, adding a new ymax
+    value must re-run only the new combinations (ADVICE r1)."""
+    log = tmp_path / "ms.log"
+    base = [
+        "offsetminsum", "--code", "peg_96_48", "--snr", "3.0",
+        "-T", "5", "--log", str(log), "--batch", "64",
+        "--max-frames", "64", "--min-errors", "1",
+        "--min-word-errors", "1", "--nq", "8", "--delta", "0.15",
+    ]
+    assert sweep_main(base + ["--ymax", "1.5", "2.0"]) == 0
+    rows = log.read_text().strip().splitlines()
+    assert len(rows) == 2
+    done = (tmp_path / "ms.log.done").read_text().strip().splitlines()
+    assert len(done) == 2 and len(set(done)) == 2
+    # resume with a third ymax: the two logged points skip, one new row lands
+    assert sweep_main(
+        base + ["--ymax", "1.5", "2.0", "2.5", "--resume"]
+    ) == 0
+    rows = log.read_text().strip().splitlines()
+    assert len(rows) == 3
+    done = (tmp_path / "ms.log.done").read_text().strip().splitlines()
+    assert len(done) == 3
+    # resuming the identical grid is a full no-op
+    assert sweep_main(
+        base + ["--ymax", "1.5", "2.0", "2.5", "--resume"]
+    ) == 0
+    assert len(log.read_text().strip().splitlines()) == 3
+
+
+def test_sweep_resume_legacy_snr_only_log(tmp_path):
+    """A pre-sidecar log resumes by SNR column when the grid is SNR-only."""
+    log = tmp_path / "ms.log"
+    base = [
+        "minsum", "--code", "peg_96_48", "-T", "5", "--log", str(log),
+        "--batch", "64", "--max-frames", "64", "--min-errors", "1",
+        "--min-word-errors", "1",
+    ]
+    assert sweep_main(base + ["--snr", "3.0"]) == 0
+    (tmp_path / "ms.log.done").unlink()  # simulate a legacy log
+    assert sweep_main(base + ["--snr", "3.0:4.0:1.0", "--resume"]) == 0
+    rows = log.read_text().strip().splitlines()
+    assert len(rows) == 2  # 3.0 skipped, only 4.0 ran
+    assert rows[1].split("\t")[0] == "4"
