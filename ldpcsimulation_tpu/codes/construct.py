@@ -174,8 +174,10 @@ def qc_expand(base: np.ndarray, z: int) -> Alist:
 
     ``base`` is an integer matrix where entry -1 denotes an all-zero z×z
     block and entry s ≥ 0 denotes the identity cyclically right-shifted by s.
-    This is the 802.11n / 802.16e / 5G-NR style description; the 802.11n
-    rate-1/2 Z=81 table is provided in :mod:`.standards`.
+    This is the 802.11n / 802.16e / 5G-NR style description; the real
+    802.11n rate-1/2 z=27 table (recovered from the reference's truncated
+    alist) is provided in :mod:`.standards`, alongside the DVB-S2 rate-1/2
+    address table.
     """
     mb, nb = base.shape
     n, m = nb * z, mb * z

@@ -1,0 +1,224 @@
+"""Real standard code tables: IEEE 802.11n and DVB-S2 (exact structures).
+
+Unlike the ``*_like`` ensemble analogs in :mod:`.library` (same size/degree
+class, our own girth-optimized shifts), the tables here reproduce the
+*standard* parity-check matrices bit for bit:
+
+* :data:`WIFI_648_RATE12_Z27` — the IEEE 802.11n rate-1/2, n=648 (z=27)
+  prototype shift table.  Recovered from the reference's own
+  ``C_implementations/codes/802.11n/802.11n.alist``: both shipped copies of
+  that file are truncated 24 adjacency tokens short (the parser rejects
+  them), but only in the *variable*-side lists — the check-side lists are
+  complete and fully determine H.  The reconstruction is verified circulant
+  (z=27) and cross-checked against the 636 intact variable lists in
+  ``tests/test_standards.py``.  The reference never successfully loads
+  these files (``ldpcsim`` aborts on them), so this table also *repairs* a
+  broken reference asset rather than merely porting it.
+
+* :data:`DVBS2_RATE12_ADDRESSES` — the ETSI EN 302 307 DVB-S2 rate-1/2
+  (64800, 32400) accumulator address table, extracted from
+  ``C_implementations/codes/dvbs2_1_2/dvbs2_1_2.alist`` and verified to
+  regenerate that file's H exactly (90 column groups of 360; info column
+  ``(g, j)`` connects to rows ``(x + j*q) mod M`` for each address x of
+  group g, q = M/360 = 90; staircase parity H[p,p] = H[p+1,p] = 1 with the
+  final weight-1 column).  This is the standard's own encoding of the code,
+  3 orders of magnitude smaller than the expanded alist.
+
+The z=81 (n=1944) 802.11n variant is NOT shipped: the standard defines a
+*different* shift table per expansion factor, the reference repo contains
+no n=1944 data to extract it from, and this framework does not invent
+numbers it cannot verify.  ``library.load_named_qc("wifi_like_1944_972")``
+provides a same-class girth-6 ensemble code for that geometry.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+from .alist import Alist
+from .code import Code, build_code
+from .qc import QCCode, build_qc_code
+
+__all__ = [
+    "WIFI_648_RATE12_Z27",
+    "wifi_648_rate12_qc",
+    "wifi_648_rate12",
+    "DVBS2_RATE12_ADDRESSES",
+    "DVBS2_RATE12_Q",
+    "dvbs2_rate12_alist",
+    "dvbs2_rate12",
+]
+
+# IEEE 802.11n rate-1/2, z=27 (n=648, k=324) prototype matrix.  −1 = zero
+# block, s ≥ 0 = identity cyclically shifted by s.  12×24; columns 0-11 are
+# information, 12 the weight-3 encoding column, 13-23 the dual-diagonal
+# accumulator.  Extracted from the reference's 802.11n.alist (see module
+# docstring for provenance/verification).
+WIFI_648_RATE12_Z27 = (
+    (0, -1, -1, -1, 0, 0, -1, -1, 0, -1, -1, 0, 26, 0, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1),
+    (5, 0, -1, -1, 10, -1, 0, 0, 15, -1, -1, -1, -1, 0, 0, -1, -1, -1, -1, -1, -1, -1, -1, -1),
+    (21, -1, 0, -1, 17, -1, -1, -1, 3, -1, 0, -1, -1, -1, 0, 0, -1, -1, -1, -1, -1, -1, -1, -1),
+    (25, -1, -1, 0, 7, -1, -1, -1, 2, 0, -1, -1, -1, -1, -1, 0, 0, -1, -1, -1, -1, -1, -1, -1),
+    (4, -1, -1, -1, 24, -1, -1, -1, 0, -1, 18, 16, -1, -1, -1, -1, 0, 0, -1, -1, -1, -1, -1, -1),
+    (3, -1, 4, 26, 10, -1, 24, -1, 17, -1, -1, -1, -1, -1, -1, -1, -1, 0, 0, -1, -1, -1, -1, -1),
+    (2, -1, -1, -1, 19, -1, -1, -1, 20, 9, -1, -1, 0, -1, -1, -1, -1, -1, 0, 0, -1, -1, -1, -1),
+    (14, 3, -1, -1, 0, -1, 19, -1, 21, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1, 0, 0, -1, -1, -1),
+    (20, 7, -1, 11, 5, 17, -1, -1, 4, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1, 0, 0, -1, -1),
+    (16, -1, -1, -1, 8, -1, -1, -1, 14, -1, 24, 10, -1, -1, -1, -1, -1, -1, -1, -1, -1, 0, 0, -1),
+    (2, -1, 19, -1, 4, 9, -1, 13, 18, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1, 0, 0),
+    (24, -1, -1, -1, 11, -1, -1, 25, 2, 22, -1, -1, 26, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1, 0),
+)
+
+
+@functools.lru_cache(maxsize=None)
+def wifi_648_rate12_qc() -> QCCode:
+    """The real 802.11n (648, 324) rate-1/2 code as a QC structure
+    (gather-free decoder fast paths apply)."""
+    return build_qc_code(np.array(WIFI_648_RATE12_Z27, np.int64), 27)
+
+
+def wifi_648_rate12() -> Code:
+    """The real 802.11n (648, 324) code as a generic slot-array Code."""
+    return wifi_648_rate12_qc().to_code()
+
+
+# DVB-S2 rate-1/2 accumulator addresses (ETSI EN 302 307 Annex B/C form):
+# row g lists the parity addresses of information column g*360; column
+# (g, j) connects to rows (x + j*DVBS2_RATE12_Q) mod 32400.  36 weight-8
+# groups then 54 weight-3 groups.  Extracted from (and verified against)
+# the reference's dvbs2_1_2.alist.
+DVBS2_RATE12_Q = 90
+DVBS2_RATE12_ADDRESSES = (
+    (54, 2534, 8597, 9318, 10219, 14392, 26909, 27561),
+    (55, 2530, 3033, 3651, 4635, 7263, 23830, 28130),
+    (56, 792, 5750, 9169, 17299, 23583, 24731, 26036),
+    (57, 5811, 11551, 13685, 15447, 16264, 18653, 26154),
+    (58, 2792, 3174, 11347, 12610, 12997, 28768, 29371),
+    (59, 3186, 6165, 15850, 16018, 16789, 21202, 21449),
+    (60, 6213, 8334, 12166, 17618, 18212, 21449, 31016),
+    (61, 718, 5896, 9308, 11327, 11727, 14213, 22836),
+    (62, 2091, 5444, 9013, 15587, 23634, 24941, 29966),
+    (63, 3983, 16904, 21415, 22207, 25912, 27524, 28534),
+    (64, 4501, 5491, 14665, 14798, 16158, 22193, 25687),
+    (65, 4264, 4520, 16941, 17094, 21526, 22370, 23397),
+    (66, 2762, 6182, 9597, 10490, 25954, 30841, 32370),
+    (67, 13668, 14955, 15147, 19235, 22120, 22865, 29870),
+    (68, 5443, 6689, 9918, 18346, 18408, 20645, 25746),
+    (69, 4746, 10023, 12529, 13858, 24828, 29982, 30370),
+    (70, 1262, 7863, 13063, 21951, 24033, 28032, 29888),
+    (71, 6594, 9335, 9509, 14831, 29642, 31451, 31552),
+    (72, 624, 1358, 5265, 6454, 16633, 20354, 24598),
+    (73, 295, 3080, 8032, 13364, 15323, 18011, 19529),
+    (74, 1510, 7960, 9129, 11370, 11981, 21462, 25741),
+    (75, 4543, 9276, 20646, 21921, 28050, 29656, 30699),
+    (76, 5520, 13715, 15975, 19605, 21949, 25634, 31119),
+    (77, 4608, 10706, 13103, 18688, 29224, 30165, 31755),
+    (78, 12245, 21514, 23117, 25631, 26035, 30699, 31656),
+    (79, 9674, 17042, 24588, 24966, 29908, 31285, 31857),
+    (80, 7122, 11409, 14897, 21856, 27000, 27777, 29919),
+    (81, 263, 4877, 20545, 22092, 23310, 28622, 29773),
+    (82, 3967, 5651, 14419, 15605, 15896, 21864, 22757),
+    (83, 1759, 5098, 10139, 10556, 26086, 29223, 30145),
+    (84, 505, 2936, 6030, 16575, 18815, 24457, 26738),
+    (85, 6247, 20131, 22298, 24791, 26390, 27562, 30326),
+    (86, 928, 12400, 15311, 18608, 21246, 29246, 32309),
+    (87, 2296, 3244, 6025, 16302, 19613, 20314, 26689),
+    (88, 6237, 11943, 15112, 15642, 20947, 22851, 23857),
+    (89, 7093, 8882, 12719, 18384, 19038, 25168, 26403),
+    (0, 14567, 24965),
+    (1, 100, 3908),
+    (2, 240, 10279),
+    (3, 764, 24102),
+    (4, 4173, 12383),
+    (5, 13861, 15918),
+    (6, 1046, 21327),
+    (7, 5288, 14579),
+    (8, 8069, 28158),
+    (9, 11098, 16583),
+    (10, 16681, 28363),
+    (11, 13980, 24725),
+    (12, 17989, 32169),
+    (13, 2767, 10907),
+    (14, 3818, 21557),
+    (15, 12422, 26676),
+    (16, 7676, 8754),
+    (17, 14905, 20232),
+    (18, 15719, 24646),
+    (19, 8589, 31942),
+    (20, 19978, 27197),
+    (21, 15071, 27060),
+    (22, 6071, 26649),
+    (23, 10393, 11176),
+    (24, 9597, 13370),
+    (25, 7081, 17677),
+    (26, 1433, 19513),
+    (27, 9014, 26925),
+    (28, 8900, 19202),
+    (29, 18152, 30647),
+    (30, 1737, 20803),
+    (31, 11804, 25221),
+    (32, 17783, 31683),
+    (33, 9345, 29694),
+    (34, 12280, 26611),
+    (35, 6526, 26122),
+    (36, 11241, 26165),
+    (37, 7666, 26962),
+    (38, 8480, 16290),
+    (39, 10120, 11774),
+    (40, 30051, 30426),
+    (41, 1335, 15424),
+    (42, 6865, 17742),
+    (43, 12489, 31779),
+    (44, 21001, 32120),
+    (45, 6996, 14508),
+    (46, 979, 25024),
+    (47, 4554, 21896),
+    (48, 7989, 21777),
+    (49, 4972, 20661),
+    (50, 2730, 6612),
+    (51, 4418, 12742),
+    (52, 595, 29194),
+    (53, 19267, 20113),
+)
+
+
+@functools.lru_cache(maxsize=None)
+def dvbs2_rate12_alist() -> Alist:
+    """The real DVB-S2 rate-1/2 (64800, 32400) H as an Alist.
+
+    Regenerated from :data:`DVBS2_RATE12_ADDRESSES`; byte-identical graph
+    to the reference's ``dvbs2_1_2.alist`` (asserted in tests).
+    """
+    m = 32400
+    k = 32400
+    n = k + m
+    q = DVBS2_RATE12_Q
+    nlist = [[] for _ in range(n)]
+    mlist = [[] for _ in range(m)]
+    for g, addrs in enumerate(DVBS2_RATE12_ADDRESSES):
+        base = np.asarray(addrs, np.int64)
+        for j in range(360):
+            c = g * 360 + j
+            rows = (base + j * q) % m
+            for r in rows:
+                nlist[c].append(int(r))
+                mlist[int(r)].append(c)
+    for p in range(m):  # staircase accumulator
+        c = k + p
+        nlist[c].append(p)
+        mlist[p].append(c)
+        if p + 1 < m:
+            nlist[c].append(p + 1)
+            mlist[p + 1].append(c)
+    for lst in nlist:
+        lst.sort()
+    for lst in mlist:
+        lst.sort()
+    return Alist(n=n, m=m, nlist=nlist, mlist=mlist)
+
+
+def dvbs2_rate12() -> Code:
+    """The real DVB-S2 rate-1/2 code as a generic slot-array Code."""
+    return build_code(dvbs2_rate12_alist())
