@@ -235,8 +235,8 @@ def decode_ngdbf_hw(
             return dict(
                 st,
                 d=d_init,
-                frozen=jnp.zeros((b,), bool),
-                phase_iters=jnp.full((b,), T, jnp.int32),
+                frozen=vma_like(jnp.zeros((b,), bool), d_init),
+                phase_iters=vma_like(jnp.full((b,), T, jnp.int32), d_init),
             )
 
         st = jax.lax.cond(is_start, start_phase, lambda x: x, st)

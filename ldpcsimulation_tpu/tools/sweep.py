@@ -473,6 +473,26 @@ def _run_distributed(args, code, qc, alist_name, snrs, rate, stop, T):
         )
     mesh = make_mesh(n_snr=len(snrs))
 
+    if args.decoder == "nbqspa":
+        from ..parallel.montecarlo_nb import simulate_nb_distributed
+
+        nb_stats = simulate_nb_distributed(
+            code, snrs, mesh, T, rate=rate, stop=stop,
+            batch_per_device=args.batch, seed=args.seed,
+        )
+        for snr, st in zip(snrs, nb_stats):
+            row = "\t".join(
+                fmt(v)
+                for v in (snr, st.ser, st.ber, st.avg_iterations, st.fer, T)
+            ) + f"\t{alist_name}"
+            append_row(args.log, row)
+            print(
+                f"SNR={snr} SER={st.ser:.4g} BER={st.ber:.4g} "
+                f"frames={st.total_words}",
+                file=sys.stderr,
+            )
+        return 0
+
     if args.decoder == "bp":
         def dec(y, sigma, key):
             from ..decoders.bp import decode_bp
@@ -522,10 +542,42 @@ def _run_distributed(args, code, qc, alist_name, snrs, rate, stop, T):
             return decode_gdbf(
                 code, yq, sigma, cfg, key=key, qc=qc, dense=dense
             )
+    elif args.decoder == "ddbmp":
+        from ..channel.quantize import quantize_no_zero as _qnz
+
+        ym = args.ymax[0] if args.ymax[0] is not None else 1.5
+        nql = args.nq[0] if args.nq[0] is not None else 8.0
+
+        def dec(y, sigma, key):
+            return decode_ddbmp(code, _qnz(y, ym, nql), T)
+    elif args.decoder == "ngdbfhw":
+        from ..decoders.dense_ops import DenseGraph, dense_worthwhile
+
+        hw_cfg = NGDBFHwConfig(
+            num_iterations=T,
+            w=args.w[0] if args.w[0] is not None else 0.185,
+            ymax=args.ymax[0] if args.ymax[0] is not None else 1.625,
+            noise_scale=(
+                args.noise_scale[0]
+                if args.noise_scale[0] is not None
+                else 0.95
+            ),
+            theta0=args.theta0[0] if args.theta0[0] is not None else -0.525,
+            max_phases=args.max_phases or 1,
+            ring_len=max(2648, code.n + 600),
+        )
+        hw_dense = (
+            DenseGraph.from_code(code) if dense_worthwhile(code) else None
+        )
+
+        def dec(y, sigma, key):
+            return decode_ngdbf_hw(
+                code, y, sigma, hw_cfg, key=key, dense=hw_dense
+            )
     else:
         raise SystemExit(
             "sweep: error: --distributed supports bp, min-sum variants, "
-            "and gdbf"
+            "gdbf, ddbmp, ngdbfhw, and nbqspa"
         )
 
     stats_list = simulate_distributed(
@@ -542,6 +594,13 @@ def _run_distributed(args, code, qc, alist_name, snrs, rate, stop, T):
                 lam=cfg.lam if cfg.threshold_adaptation else None,
                 alpha=cfg.alpha if cfg.weight_syndromes else None,
                 ymax=args.ymax[0],
+            )
+        elif args.decoder == "ddbmp":
+            row = minsum_log_row(snr, st, T, alist_name, ymax=ym)
+        elif args.decoder == "ngdbfhw":
+            row = ngdbfhw_log_row(
+                snr, st, T, hw_cfg.theta0, hw_cfg.noise_scale, hw_cfg.w,
+                hw_cfg.ymax, hw_cfg.nq, hw_cfg.max_phases, args.seed,
             )
         else:
             row = minsum_log_row(snr, st, T, alist_name)

@@ -360,3 +360,51 @@ def test_sweep_resume_legacy_snr_only_log(tmp_path):
     rows = log.read_text().strip().splitlines()
     assert len(rows) == 2  # 3.0 skipped, only 4.0 ran
     assert rows[1].split("\t")[0] == "4"
+
+
+def test_sweep_distributed_ddbmp_ngdbfhw(tmp_path):
+    """--distributed covers the remaining binary decoders (VERDICT r1 #7)."""
+    log1 = tmp_path / "dd.log"
+    rc = sweep_main(
+        [
+            "ddbmp", "--code", "peg_96_48", "--snr", "3.0,5.0", "-T", "20",
+            "--ymax", "1.5", "--nq", "8", "--distributed",
+            "--log", str(log1), "--batch", "16",
+            "--min-errors", "5", "--min-word-errors", "1",
+            "--max-frames", "512",
+        ]
+    )
+    assert rc == 0
+    rows = log1.read_text().strip().splitlines()
+    assert len(rows) == 2
+    assert float(rows[0].split("\t")[1]) >= float(rows[1].split("\t")[1])
+
+    log2 = tmp_path / "hw.log"
+    rc = sweep_main(
+        [
+            "ngdbfhw", "--code", "peg_96_48", "--snr", "4.0,6.0", "-T", "30",
+            "--distributed", "--log", str(log2), "--batch", "16",
+            "--min-errors", "5", "--min-word-errors", "1",
+            "--max-frames", "512",
+        ]
+    )
+    assert rc == 0
+    rows = log2.read_text().strip().splitlines()
+    assert len(rows) == 2
+
+
+def test_sweep_distributed_nbqspa(tmp_path):
+    log = tmp_path / "nb.log"
+    rc = sweep_main(
+        [
+            "nbqspa", "--nb-random", "24:12:3:8", "--snr", "3.0,6.0",
+            "-T", "8", "--distributed", "--log", str(log), "--batch", "8",
+            "--min-errors", "5", "--min-word-errors", "1",
+            "--max-frames", "256",
+        ]
+    )
+    assert rc == 0
+    rows = log.read_text().strip().splitlines()
+    assert len(rows) == 2
+    # SER SNR ordering
+    assert float(rows[0].split("\t")[1]) >= float(rows[1].split("\t")[1])
