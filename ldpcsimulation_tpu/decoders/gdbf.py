@@ -168,7 +168,7 @@ def _syndrome_sum_per_vn(code: Code, syn: jax.Array) -> jax.Array:
     return jnp.sum(g, axis=1)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "qc"))
+@functools.partial(jax.jit, static_argnames=("cfg", "qc", "trace"))
 def decode_gdbf(
     code: Code,
     yq: jax.Array,
@@ -179,6 +179,7 @@ def decode_gdbf(
     qc: Optional[QCCode] = None,
     stoch_uniforms: Optional[jax.Array] = None,
     dense: Optional[DenseGraph] = None,
+    trace: bool = False,
 ) -> GDBFResult:
     """Batched GDBF-family decode.
 
@@ -199,6 +200,9 @@ def decode_gdbf(
     circulant structure exists).  Ignored when ``qc`` is given.
     stoch_uniforms: optional [max_phases*T, N, B] pre-drawn uniform(0,1)
     draws for the stochastic flip decisions (replay/cross-validation).
+    trace: when True, run the full step budget under lax.scan and return
+    ``(result, d_steps)`` with ``d_steps`` the [max_phases*T, N, B] ±1
+    decision state after every step (tools/replay.py's O(T) trace source).
     """
     if qc is not None and (qc.n != code.n or qc.m != code.m):
         raise ValueError("qc structure does not match code dimensions")
@@ -399,7 +403,18 @@ def decode_gdbf(
             sat_at_exit=sat_at_exit,
         )
 
-    st = jax.lax.while_loop(cond, body, init)
+    if trace:
+        # Instrumented mode: one lax.scan over the full step budget,
+        # emitting the post-update decisions of every step (frozen frames
+        # keep their state, matching the while_loop semantics exactly).
+        # O(T) — replaces the old O(T²) re-decode-with-growing-caps trace.
+        def scan_body(st, _):
+            st2 = jax.lax.cond(cond(st), body, lambda s: s, st)
+            return st2, st2["d"]
+
+        st, d_steps = jax.lax.scan(scan_body, init, None, length=total_steps)
+    else:
+        st = jax.lax.while_loop(cond, body, init)
 
     d = st["d"]
     satisfied = st["sat_at_exit"]
@@ -411,10 +426,13 @@ def decode_gdbf(
         d_smoothed = jnp.where(st["dsum"] > 0, 1, -1).astype(jnp.int32)
         d = jnp.where(~satisfied[None, :], d_smoothed, d)
 
-    return GDBFResult(
+    result = GDBFResult(
         hard=d.T,
         iterations=st["iters"],
         satisfied=satisfied,
         phases=st["phases"],
         smoothing_used=smooth_used,
     )
+    if trace:
+        return result, d_steps  # d_steps: [total_steps, N, B] ±1
+    return result

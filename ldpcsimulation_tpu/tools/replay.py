@@ -74,25 +74,23 @@ def trace_gdbf(
 ) -> GDBFTrace:
     """Decode one frame, capturing state after every iteration.
 
-    Implemented by re-running the (deterministic, masked-frozen) decoder
-    with increasing iteration caps — O(T²) work but exact, with zero
-    decoder instrumentation.
+    One instrumented decode (``decode_gdbf(..., trace=True)`` runs the loop
+    under ``lax.scan`` emitting every step's decisions) — O(T), so a DVB-S2
+    SM-NGDBF T=700 trace costs one decode, not ~T²/2 re-decodes.
+    Intermediate rows show raw decisions (output smoothing only rewrites
+    the *final* output of unsatisfied frames, decodeGDBF.cpp:358-367).
     """
     y1 = jnp.asarray(yq)[None, :]
+    res, d_steps = decode_gdbf(code, y1, sigma, cfg, key=key, trace=True)
+    satisfied = bool(res.satisfied[0])
+    iterations = int(res.iterations[0])
+    # executed update rounds: frozen-at-step `iterations` (break index) for
+    # satisfied frames, the full budget otherwise
+    rounds = iterations if satisfied else cfg.max_phases * cfg.num_iterations
     rows_d = [np.where(np.asarray(yq) > 0, 1, -1)]
-    final = None
-    for t in range(1, cfg.num_iterations + 1):
-        # intermediate rows show raw decisions (smoothing only rewrites the
-        # *final* output of unsatisfied frames, decodeGDBF.cpp:358-367)
-        cfg_t = dataclasses.replace(
-            cfg, num_iterations=t,
-            output_smoothing=cfg.output_smoothing and t == cfg.num_iterations,
-        )
-        res = decode_gdbf(code, y1, sigma, cfg_t, key=key)
-        rows_d.append(np.asarray(res.hard)[0])
-        final = res
-        if bool(res.satisfied[0]):
-            break
+    rows_d += list(np.asarray(d_steps[: max(rounds, 1), :, 0]))
+    if cfg.output_smoothing and not satisfied:
+        rows_d[-1] = np.asarray(res.hard)[0]  # smoothed final output
     rows_s = [
         np.asarray(syndrome_from_hard(code, jnp.asarray(d)[:, None]))[:, 0]
         for d in rows_d
@@ -100,8 +98,8 @@ def trace_gdbf(
     return GDBFTrace(
         decisions=np.stack(rows_d),
         syndromes=np.stack(rows_s),
-        iterations=int(final.iterations[0]) if final is not None else 0,
-        satisfied=bool(final.satisfied[0]) if final is not None else True,
+        iterations=iterations,
+        satisfied=satisfied,
     )
 
 

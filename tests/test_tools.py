@@ -408,3 +408,80 @@ def test_sweep_distributed_nbqspa(tmp_path):
     assert len(rows) == 2
     # SER SNR ordering
     assert float(rows[0].split("\t")[1]) >= float(rows[1].split("\t")[1])
+
+
+def test_errimage_merge_tools(tmp_path):
+    """errtopng's shiftMatrix/mergeMatrices/main composition semantics
+    (errtopng.cpp:28-110) — the multi-trace half missing in round 1."""
+    from ldpcsimulation_tpu.tools.errimage import (
+        compose_error_images,
+        merge_matrices,
+        read_matrix_file,
+        shift_scale_matrix,
+        write_matrix_file,
+    )
+
+    # shift(-1)*scale(-1): +1 (correct) -> 0, -1 (error) -> 2
+    m = shift_scale_matrix(np.array([[1, -1], [-1, -1]]))
+    np.testing.assert_array_equal(m, [[0, 2], [2, 2]])
+
+    # merge: overlapping rows add, longer trace's tail appended verbatim
+    a = np.array([[1.0, 2.0]])
+    b = np.array([[10.0, 20.0], [30.0, 40.0]])
+    np.testing.assert_array_equal(
+        merge_matrices(a, b), [[11, 22], [30, 40]]
+    )
+    np.testing.assert_array_equal(
+        merge_matrices(b, a), [[11, 22], [30, 40]]
+    )
+    np.testing.assert_array_equal(merge_matrices(np.zeros((0, 0)), a), a)
+
+    # file roundtrip incl. the write_trace 'd'/'s' tagged format
+    p1 = tmp_path / "t1.mat"
+    write_matrix_file(str(p1), np.array([[1, -1, 1], [1, 1, 1]]))
+    np.testing.assert_array_equal(
+        read_matrix_file(str(p1)), [[1, -1, 1], [1, 1, 1]]
+    )
+    p2 = tmp_path / "t2.trace"
+    p2.write_text("d 1 1 -1\ns 1 -1 1\nd 1 1 1\ns 1 1 1\n")
+    np.testing.assert_array_equal(
+        read_matrix_file(str(p2)), [[1, 1, -1], [1, 1, 1]]
+    )
+
+    # full composition: two traces -> merged png + per-trace .err history
+    out = tmp_path / "merged"
+    merged = compose_error_images(str(out), [str(p1), str(p2)])
+    np.testing.assert_array_equal(merged, [[0, 2, 2], [0, 0, 0]])
+    assert (tmp_path / "merged.png").exists()
+    err_lines = (tmp_path / "merged.err").read_text().strip().splitlines()
+    assert err_lines[0].split("\t") == ["2", "0"]  # trace1: 1 err, 0 err
+    assert err_lines[1].split("\t") == ["2", "0"]
+
+
+def test_trace_gdbf_single_decode_rows(tcode, rng):
+    """O(T) trace: rows = channel + executed rounds; final row equals the
+    decoder's output for the same frame."""
+    import jax
+
+    from ldpcsimulation_tpu.decoders.gdbf import decode_gdbf, preset
+    from ldpcsimulation_tpu.tools.replay import trace_gdbf
+
+    cfg = preset("SMNGDBF", num_iterations=25, theta=-0.7, alpha=0.9,
+                 window_size=8)
+    y = np.asarray(1.0 + 0.7 * rng.standard_normal(tcode.n), np.float32)
+    key = jax.random.key(5)
+    tr = trace_gdbf(tcode, y, 0.7, cfg, key=key)
+    res = decode_gdbf(tcode, jnp.asarray(y)[None, :], 0.7, cfg, key=key)
+    assert tr.satisfied == bool(res.satisfied[0])
+    assert tr.iterations == int(res.iterations[0])
+    if tr.satisfied:
+        assert tr.decisions.shape[0] == max(tr.iterations, 1) + 1
+        # frozen state == decoder output
+        np.testing.assert_array_equal(
+            tr.decisions[-1], np.asarray(res.hard)[0]
+        )
+    else:
+        assert tr.decisions.shape[0] == cfg.num_iterations + 1
+        np.testing.assert_array_equal(
+            tr.decisions[-1], np.asarray(res.hard)[0]
+        )
