@@ -93,6 +93,13 @@ class GDBFConfig:
     # flag: weightSyndromes
     weight_syndromes: bool = False
     alpha: float = 2.25
+    # RNGDBF.cpp:564-566 kept the OLD weight semantics w = alpha*Ymax/dv_i
+    # (per-node), which decodeGDBF.cpp:548-551 later replaced with the
+    # global w = alpha (the "/*Ymax/dv" is commented out there).  The
+    # redecode binary therefore weights differently from every other GDBF
+    # binary at the same alpha; set legacy_weight for RNGDBF parity.
+    legacy_weight: bool = False
+    weight_ymax: float = 2.5
     # flag: outputSmoothing
     output_smoothing: bool = False
     window_size: int = 64
@@ -127,6 +134,7 @@ PRESETS = {
         weight_syndromes=True,
         output_smoothing=True,
         max_phases=7,
+        legacy_weight=True,  # RNGDBF.cpp:566 (see GDBFConfig)
     ),
 }
 
@@ -222,11 +230,22 @@ def decode_gdbf(
     T = cfg.num_iterations
     total_steps = cfg.max_phases * T
     noise_sigma = jnp.asarray(sigma * cfg.noise_scale, dtype)
-    w = jnp.asarray(cfg.alpha if cfg.weight_syndromes else 1.0, dtype)
+    if cfg.weight_syndromes and cfg.legacy_weight:
+        # RNGDBF.cpp:564-566: per-node w_i = alpha*Ymax/dv_i
+        w = (
+            cfg.alpha * cfg.weight_ymax / code.vn_deg.astype(dtype)
+        )[:, None]
+    else:
+        w = jnp.asarray(cfg.alpha if cfg.weight_syndromes else 1.0, dtype)
     theta0 = jnp.asarray(cfg.theta, dtype)
     mu0 = jnp.int32(0 if cfg.sequential else 1)
 
-    r = jnp.where(y_t > 0, 1, -1).astype(jnp.int32)  # channel hard decisions
+    # Channel hard decisions: the reference takes sgn BEFORE quantization
+    # (decodeGDBF.cpp:259-267 — r from the saturated y, then yq=quantize).
+    # Quantizers with a zero level (quantize_round at small NQ) emit signed
+    # zeros, so signbit recovers the pre-quantization sign exactly; a plain
+    # y>0 test would misread +0.0 as negative and mis-init ~15% of bits.
+    r = jnp.where(jnp.signbit(y_t), -1, 1).astype(jnp.int32)
 
     def fresh_phase_state():
         return dict(

@@ -117,7 +117,12 @@ def apply_offset(c2v_flat: jax.Array, delta: float) -> jax.Array:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("num_iterations", "variant", "early_termination"),
+    static_argnames=(
+        "num_iterations",
+        "variant",
+        "early_termination",
+        "storage_dtype",
+    ),
 )
 def decode_minsum(
     code: Code,
@@ -127,6 +132,7 @@ def decode_minsum(
     alpha: float = 1.0,
     delta: float = 0.0,
     early_termination: bool = False,
+    storage_dtype=None,
 ) -> DecodeResult:
     """Batched flooding min-sum decode.
 
@@ -134,14 +140,21 @@ def decode_minsum(
     Offset/Normalized fixed-point variants — the reference quantizes the
     channel, not the messages: ``decodeMinSum.cpp:218-238``).
     variant: "plain" | "normalized" | "offset".
+    storage_dtype: optional narrower dtype (e.g. float16) for the message
+    arrays — same semantics and measured BER behavior as
+    :func:`..decoders.minsum_qc.decode_minsum_qc`'s flag (CN min/sign is
+    exact on stored values; the only rounding is the v2c store after the
+    f32 VN sum).  Halves the gather traffic, the generic path's
+    bottleneck.
     """
     if variant not in ("plain", "normalized", "offset"):
         raise ValueError(f"unknown min-sum variant {variant!r}")
     y_t = jnp.asarray(y).T  # [N, B]
     b = y_t.shape[1]
+    sdt = storage_dtype if storage_dtype is not None else y_t.dtype
     # initializeSymMessages: every VN slot starts at the channel sample
     # (decodeMinSum.cpp:364-370).
-    v2c0 = jnp.repeat(y_t, code.dv_max, axis=0)
+    v2c0 = jnp.repeat(y_t, code.dv_max, axis=0).astype(sdt)
 
     def step(st):
         v2c, _d = st
@@ -150,8 +163,8 @@ def decode_minsum(
             c2v = apply_normalization(c2v, alpha)
         elif variant == "offset":
             c2v = apply_offset(c2v, delta)
-        v2c, _total, d = vn_update(code, y_t, c2v)
-        return (v2c, d)
+        v2c, _total, d = vn_update(code, y_t, c2v.astype(y_t.dtype))
+        return (v2c.astype(sdt), d)
 
     d0 = jnp.where(y_t > 0, 1, -1).astype(jnp.int32)
     d, iters, done = run_flooding(

@@ -69,7 +69,16 @@ def main(argv: Optional[List[str]] = None) -> int:
             return step
         return make, b * rounds
 
-    def record(label, code_n, info_k, step_fn, frames, iters):
+    # HBM roofline accounting (VERDICT r1 #5).  Per-frame per-iteration
+    # byte models count the decoder's streamed array traffic (message
+    # reads+writes, gather index reads, syndrome arrays, channel terms);
+    # achieved GB/s = frames × iters × bytes / time.  For early-terminating
+    # decoders `iters` is the cap, so those rows report an UPPER bound
+    # (printed "≤").  Peak is the v5e HBM figure.
+    PEAK_HBM = 819e9  # bytes/s, TPU v5e
+
+    def record(label, code_n, info_k, step_fn, frames, iters,
+               bytes_per_frame_iter=None, early_term=False):
         if args.only and args.only.lower() not in label.lower():
             return
         step = step_fn()
@@ -84,11 +93,36 @@ def main(argv: Optional[List[str]] = None) -> int:
                       file=sys.stderr)
                 time.sleep(5)
         else:
-            rows.append((label, iters, frames, None, None))
+            rows.append((label, iters, frames, None, None, None, False))
             return
         bits = frames * info_k / dt
-        rows.append((label, iters, frames, dt, bits))
-        print(f"{label}: {dt*1e3:.0f} ms, {bits/1e6:.1f} Mb/s", file=sys.stderr)
+        gbps = (
+            frames * iters * bytes_per_frame_iter / dt
+            if bytes_per_frame_iter
+            else None
+        )
+        rows.append((label, iters, frames, dt, bits, gbps, early_term))
+        extra = (
+            f", {'<=' if early_term else ''}{gbps/1e9:.0f} GB/s "
+            f"({100*gbps/PEAK_HBM:.0f}% roofline)"
+            if gbps
+            else ""
+        )
+        print(
+            f"{label}: {dt*1e3:.0f} ms, {bits/1e6:.1f} Mb/s{extra}",
+            file=sys.stderr,
+        )
+
+    def msg_bytes(e, n, storage=4, ndirs=4, overhead=8):
+        """Flooding message-passing traffic model: ndirs edge-array
+        passes (CN read, CN write, VN read, VN write) at `storage` bytes
+        plus per-variable channel/decision overhead."""
+        return ndirs * e * storage + overhead * n
+
+    def flip_bytes(e, n, m):
+        """Bit-flip family: two edge gathers (syndrome build + per-VN
+        sum, values + int32 indices), syndrome r/w, d/y/E/noise arrays."""
+        return 2 * e * (4 + 4) + 8 * m + 24 * n
 
     snr, rate = 2.0, 0.5
     sigma = float(snr_to_sigma(snr, rate))
@@ -100,14 +134,16 @@ def main(argv: Optional[List[str]] = None) -> int:
             qc, awgn(k, jnp.ones((b, qc.n), jnp.float32), sigma),
             10, storage_dtype=jnp.float16,
         ).hard != 1))
-    record("min-sum T=10, QC f16 (flagship)", qc.n, 504, step, frames, 10)
+    record("min-sum T=10, QC f16 (flagship)", qc.n, 504, step, frames, 10,
+           bytes_per_frame_iter=msg_bytes(3024, qc.n, storage=2))
 
     # min-sum generic gather path
     step, frames = mega(8192, 4, lambda k, b: jnp.sum(
         decode_minsum(
             gen, awgn(k, jnp.ones((b, gen.n), jnp.float32), sigma), 10
         ).hard != 1))
-    record("min-sum T=10, generic slot arrays", gen.n, 504, step, frames, 10)
+    record("min-sum T=10, generic slot arrays", gen.n, 504, step, frames, 10,
+           bytes_per_frame_iter=msg_bytes(3024, gen.n) + 2 * 3024 * 4)
 
     # BP QC, early termination, T=30
     step, frames = mega(8192, 4, lambda k, b: jnp.sum(
@@ -118,14 +154,16 @@ def main(argv: Optional[List[str]] = None) -> int:
             ),
             30, early_termination=True,
         ).hard != 1))
-    record("BP T<=30 (early term), QC", qc.n, 504, step, frames, 30)
+    record("BP T<=30 (early term), QC", qc.n, 504, step, frames, 30,
+           bytes_per_frame_iter=msg_bytes(3024, qc.n), early_term=True)
 
     # layered min-sum T=10 (converges ~2x faster per iteration count)
     step, frames = mega(8192, 4, lambda k, b: jnp.sum(
         decode_minsum_layered_qc(
             qc, awgn(k, jnp.ones((b, qc.n), jnp.float32), sigma), 10
         ).hard != 1))
-    record("layered min-sum T=10, QC", qc.n, 504, step, frames, 10)
+    record("layered min-sum T=10, QC", qc.n, 504, step, frames, 10,
+           bytes_per_frame_iter=msg_bytes(3024, qc.n, ndirs=2))
 
     # SM-NGDBF with QC graph ops, T=100 at its operating point
     snr_g = 3.25
@@ -139,7 +177,8 @@ def main(argv: Optional[List[str]] = None) -> int:
                      -2.5, 2.5),
             sigma_g, cfg_g, key=jax.random.fold_in(k, 99), qc=qc,
         ).hard != 1))
-    record("SM-NGDBF T<=100 @3.25dB, QC ops", qc.n, 504, step, frames, 100)
+    record("SM-NGDBF T<=100 @3.25dB, QC ops", qc.n, 504, step, frames, 100,
+           bytes_per_frame_iter=flip_bytes(3024, qc.n, 504), early_term=True)
 
     # NGDBFhw fixed point, 802.3an class, T=200 at 4.25 dB
     hw_code = load_named_code("highrate_2048_384")
@@ -150,7 +189,32 @@ def main(argv: Optional[List[str]] = None) -> int:
             hw_code, awgn(k, jnp.ones((b, hw_code.n), jnp.float32), sigma_hw),
             sigma_hw, cfg_hw, key=jax.random.fold_in(k, 98),
         ).least_errors))
-    record("NGDBFhw T<=200 (2048,1664-class)", hw_code.n, 1664, step, frames, 200)
+    record("NGDBFhw T<=200 (2048,1664-class)", hw_code.n, 1664, step, frames,
+           200, bytes_per_frame_iter=flip_bytes(12288, 2048, 384),
+           early_term=True)
+
+    # NGDBFhw on the REAL 802.3an H (no circulant structure): dense MXU
+    # graph ops replace the gathers (decoders/dense_ops.py).  Skipped when
+    # the reference checkout is absent.  No bytes model: the matmul path's
+    # traffic is H-operand dominated and amortizes across the batch.
+    import os as _os
+    real_path = (
+        "/root/reference/C_implementations/codes/802_3/802_3_H.alist"
+    )
+    if _os.path.exists(real_path):
+        from ..codes import load_alist as _load_alist
+        from ..decoders.dense_ops import DenseGraph
+
+        real = build_code(_load_alist(real_path))
+        dg = DenseGraph.from_code(real)
+        step, frames = mega(2048, 2, lambda k, b: jnp.sum(
+            decode_ngdbf_hw(
+                real,
+                awgn(k, jnp.ones((b, real.n), jnp.float32), sigma_hw),
+                sigma_hw, cfg_hw, key=jax.random.fold_in(k, 97), dense=dg,
+            ).least_errors))
+        record("NGDBFhw T<=200 REAL 802.3an H, dense MXU ops", real.n,
+               1723, step, frames, 200, early_term=True)
 
     # DD-BMP T=50 on MacKay-class (4000,2000)
     dd_code = load_named_code("reg4_4000_2000")
@@ -165,7 +229,9 @@ def main(argv: Optional[List[str]] = None) -> int:
             ),
             50,
         ).hard != 1))
-    record("DD-BMP T<=50 (4000,2000) @3.9dB", dd_code.n, 2000, step, frames, 50)
+    record("DD-BMP T<=50 (4000,2000) @3.9dB", dd_code.n, 2000, step, frames,
+           50, bytes_per_frame_iter=msg_bytes(16000, dd_code.n),
+           early_term=True)
 
     # NB FFT-QSPA GF(64), (96,48) symbols, T=20
     nb_code = build_code(nb_regular(96, 48, 3, q=64, seed=2))
@@ -180,25 +246,36 @@ def main(argv: Optional[List[str]] = None) -> int:
             ),
             20,
         ).symbols != 0))
-    record("FFT-QSPA GF(64) T<=20 (96,48)sym", 96, 48 * 6, step, frames, 20)
+    record("FFT-QSPA GF(64) T<=20 (96,48)sym", 96, 48 * 6, step, frames, 20,
+           bytes_per_frame_iter=12 * 288 * 64 * 4, early_term=True)
 
     header = [
         "# Measured decoder throughput (single TPU v5e chip)",
         "",
         "Full pipeline per call: channel generation + decode + error count;",
         "host-synchronized median timing (see bench.py methodology notes).",
-        "Info-bit rates use each code's design k.",
+        "Info-bit rates use each code's design k.  GB/s is the analytical",
+        "streamed-bytes model (messages/gathers/syndromes, see",
+        "perf_report.py) over measured time; % roofline is against the",
+        "v5e HBM peak (819 GB/s).  Early-terminating rows charge the",
+        "iteration cap, so their bandwidth column is an upper bound (≤).",
         "",
-        "| configuration | frames/call | median ms | info Mbit/s |",
-        "|---|---|---|---|",
+        "| configuration | frames/call | median ms | info Mbit/s | GB/s | % roofline |",
+        "|---|---|---|---|---|---|",
     ]
     lines = [] if args.append else header
-    for label, _iters, frames, dt, bits in rows:
+    for label, _iters, frames, dt, bits, gbps, et in rows:
         if dt is None:
-            lines.append(f"| {label} | {frames} | (compile failed) | — |")
-        else:
             lines.append(
-                f"| {label} | {frames} | {dt*1e3:.0f} | {bits/1e6:.1f} |"
+                f"| {label} | {frames} | (compile failed) | — | — | — |"
+            )
+        else:
+            pre = "≤" if et else ""
+            bw = f"{pre}{gbps/1e9:.0f}" if gbps else "—"
+            pct = f"{pre}{100*gbps/PEAK_HBM:.0f}%" if gbps else "—"
+            lines.append(
+                f"| {label} | {frames} | {dt*1e3:.0f} | {bits/1e6:.1f} "
+                f"| {bw} | {pct} |"
             )
     out = "\n".join(lines) + "\n"
     if args.out:

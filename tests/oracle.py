@@ -141,6 +141,8 @@ def gdbf_decode(
     window_size=64,
     max_phases=1,
     perturbations=None,
+    legacy_weight=False,
+    weight_ymax=2.5,
 ):
     """GDBF family, single frame, mirroring decodeGDBF.cpp / RNGDBF.cpp.
 
@@ -149,8 +151,14 @@ def gdbf_decode(
     """
     n, m = a.n, a.m
     yq = list(map(float, yq))
-    r = [1 if v > 0 else -1 for v in yq]
-    w = alpha if weight_syndromes else 1.0
+    # sgn taken before quantization in the reference; signed zeros from
+    # zero-level quantizers carry that sign (see decode_gdbf)
+    r = [-1 if math.copysign(1.0, v) < 0 else 1 for v in yq]
+    if weight_syndromes and legacy_weight:
+        # RNGDBF.cpp:564-566: per-node w_i = alpha*Ymax/dv_i (old semantics)
+        wv = [alpha * weight_ymax / len(a.nlist[v]) for v in range(n)]
+    else:
+        wv = [alpha if weight_syndromes else 1.0] * n
     total_iterations = 0
     smoothing_used = 0
     satisfied = False
@@ -186,7 +194,7 @@ def gdbf_decode(
                 flip = False
                 e = d[i] * yq[i] + pert[i]
                 for c in a.nlist[i]:
-                    e += w * syn[c]
+                    e += wv[i] * syn[c]
                 if mu == 1 and e < thetas[i]:
                     flip = True
                     d[i] = -d[i]

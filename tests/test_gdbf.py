@@ -65,6 +65,8 @@ def _run_pair(a, code, y, sigma, cfg: GDBFConfig, perturbations=None):
             output_smoothing=cfg.output_smoothing,
             window_size=cfg.window_size,
             max_phases=cfg.max_phases,
+            legacy_weight=cfg.legacy_weight,
+            weight_ymax=cfg.weight_ymax,
             perturbations=None
             if perturbations is None
             else [list(p) for p in perturbations[:, f, :]],

@@ -134,3 +134,21 @@ def test_bp_qc_bitexact_vs_generic(small_qc, rng):
         np.testing.assert_array_equal(
             np.asarray(r1.iterations), np.asarray(r2.iterations)
         )
+
+
+def test_generic_f16_storage_bitexact_vs_qc_f16(small_qc, rng):
+    """The generic path's storage_dtype flag mirrors the QC one exactly:
+    same rounding points, so the two f16 decoders stay bit-identical."""
+    qc = small_qc
+    code = qc.to_code()
+    y = jnp.asarray(rng.normal(0.9, 0.8, size=(32, qc.n)), jnp.float32)
+    r1 = decode_minsum(
+        code, y, 10, early_termination=True, storage_dtype=jnp.float16
+    )
+    r2 = decode_minsum_qc(
+        qc, y, 10, early_termination=True, storage_dtype=jnp.float16
+    )
+    np.testing.assert_array_equal(np.asarray(r1.hard), np.asarray(r2.hard))
+    np.testing.assert_array_equal(
+        np.asarray(r1.iterations), np.asarray(r2.iterations)
+    )
