@@ -159,8 +159,29 @@ def main(argv: Optional[List[str]] = None) -> int:
         code = qc.to_code() if qc is not None else load_named_code(args.code)
         alist_name = args.code
     elif args.alist:
-        code = build_code(load_alist(args.alist))
+        alist = load_alist(args.alist)
+        code = build_code(alist)
         alist_name = args.alist
+        if code.q <= 2:
+            # Auto-detect circulant-block structure in loaded matrices
+            # (802.11n-style storage) and route to the gather-free QC
+            # decoders.  Only the natural-order layout is auto-routed from
+            # the CLI; permuted layouts are available via
+            # codes.qc_detect.permuted_decoder in the library API.
+            from ..codes.qc_detect import detect_qc
+
+            det = detect_qc(alist)
+            if (
+                det is not None
+                and (det.col_perm == np.arange(code.n)).all()
+                and (det.row_perm == np.arange(code.m)).all()
+            ):
+                qc = det.qc
+                print(
+                    f"sweep: detected QC structure z={qc.z} "
+                    f"({qc.mb}x{qc.nb} base) — using roll decoders",
+                    file=sys.stderr,
+                )
     else:
         from ..codes.construct import nb_regular
 

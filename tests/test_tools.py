@@ -485,3 +485,25 @@ def test_trace_gdbf_single_decode_rows(tcode, rng):
         np.testing.assert_array_equal(
             tr.decisions[-1], np.asarray(res.hard)[0]
         )
+
+
+def test_sweep_autodetects_qc_alist(tmp_path, capsys):
+    """An alist with circulant structure is auto-routed to the roll
+    decoders (VERDICT r1 #2 detection half)."""
+    from ldpcsimulation_tpu.codes.qc import qc_peg
+    from ldpcsimulation_tpu.codes.alist import save_alist
+
+    qc = qc_peg(12, 6, 3, z=8, seed=2)
+    ap = tmp_path / "qc.alist"
+    save_alist(qc.to_alist(), str(ap))
+    log = tmp_path / "q.log"
+    rc = sweep_main(
+        [
+            "minsum", "--alist", str(ap), "--snr", "4.0", "-T", "5",
+            "--log", str(log), "--batch", "64", "--max-frames", "64",
+            "--min-errors", "1", "--min-word-errors", "1",
+        ]
+    )
+    assert rc == 0
+    assert "detected QC structure z=8" in capsys.readouterr().err
+    assert len(log.read_text().strip().splitlines()) == 1
