@@ -49,6 +49,18 @@ class QCCode:
     tuple-of-tuples so the whole object is a static jit argument.
     vn_blocks[bj] = ((bi, shift), ...) sorted by bi (column slot order);
     cn_blocks[bi] = ((bj, shift), ...) sorted by bj (row slot order).
+
+    Generalizations for real standards (DVB-S2 rate-1/2 under the q-row
+    interleave; see :func:`build_qc_code_edges`):
+      * multi-edge blocks — a (bi, bj) pair may appear with several
+        shifts; ``base`` then records only the first and ``extra_edges``
+        the rest (the block lists carry all of them).
+      * ``minus_edges`` — individual edges ABSENT from an otherwise-full
+        circulant (DVB-S2's weight-1 final accumulator column).  Each
+        entry (bi, bj, shift, r) removes the edge at row offset r of that
+        circulant.  Only the bit-flip graph ops (:mod:`..decoders.qc_ops`)
+        support defects; the message-passing QC decoders require
+        ``minus_edges == ()``.
     """
 
     z: int
@@ -57,6 +69,8 @@ class QCCode:
     base: Tuple[Tuple[int, ...], ...]
     vn_blocks: Tuple[Tuple[Tuple[int, int], ...], ...]
     cn_blocks: Tuple[Tuple[Tuple[int, int], ...], ...]
+    extra_edges: Tuple[Tuple[int, int, int], ...] = ()
+    minus_edges: Tuple[Tuple[int, int, int, int], ...] = ()
 
     @property
     def n(self) -> int:
@@ -79,19 +93,69 @@ class QCCode:
         return build_code(self.to_alist())
 
     def to_alist(self) -> Alist:
-        return qc_expand(np.array(self.base), self.z)
+        if not self.extra_edges and not self.minus_edges:
+            return qc_expand(np.array(self.base), self.z)
+        # general expansion (multi-edge blocks, defect edges)
+        minus = set(self.minus_edges)
+        n, m, z = self.n, self.m, self.z
+        nlist: List[List[int]] = [[] for _ in range(n)]
+        mlist: List[List[int]] = [[] for _ in range(m)]
+        for bi in range(self.mb):
+            for bj, s in self.cn_blocks[bi]:
+                for r in range(z):
+                    if (bi, bj, s, r) in minus:
+                        continue
+                    row = bi * z + r
+                    col = bj * z + (r + s) % z
+                    mlist[row].append(col)
+                    nlist[col].append(row)
+        for lst in nlist:
+            lst.sort()
+        for lst in mlist:
+            lst.sort()
+        return Alist(n=n, m=m, nlist=nlist, mlist=mlist)
 
 
 def build_qc_code(base: np.ndarray, z: int) -> QCCode:
     base = np.asarray(base, np.int64)
     mb, nb = base.shape
+    edges = [
+        (int(bi), int(bj), int(base[bi, bj]) % z)
+        for bi in range(mb)
+        for bj in range(nb)
+        if base[bi, bj] >= 0
+    ]
+    return build_qc_code_edges(edges, z, mb, nb)
+
+
+def build_qc_code_edges(
+    edges: List[Tuple[int, int, int]],
+    z: int,
+    mb: int,
+    nb: int,
+    minus_edges: Tuple[Tuple[int, int, int, int], ...] = (),
+) -> QCCode:
+    """QCCode from an explicit circulant-edge list (repeats = multi-edge
+    blocks; ``minus_edges`` removes single edges from their circulants)."""
+    edges = [(int(bi), int(bj), int(s) % z) for bi, bj, s in edges]
+    base = np.full((mb, nb), -1, np.int64)
+    extra: List[Tuple[int, int, int]] = []
+    for bi, bj, s in edges:
+        if base[bi, bj] < 0:
+            base[bi, bj] = s
+        else:
+            extra.append((bi, bj, s))
     vn_blocks: List[Tuple[Tuple[int, int], ...]] = []
     for bj in range(nb):
-        rows = [(int(bi), int(base[bi, bj]) % z) for bi in range(mb) if base[bi, bj] >= 0]
+        rows = sorted(
+            (bi, s) for (bi, b2, s) in edges if b2 == bj
+        )
         vn_blocks.append(tuple(rows))
     cn_blocks: List[Tuple[Tuple[int, int], ...]] = []
     for bi in range(mb):
-        cols = [(int(bj), int(base[bi, bj]) % z) for bj in range(nb) if base[bi, bj] >= 0]
+        cols = sorted(
+            (bj, s) for (b1, bj, s) in edges if b1 == bi
+        )
         cn_blocks.append(tuple(cols))
     return QCCode(
         z=z,
@@ -100,6 +164,11 @@ def build_qc_code(base: np.ndarray, z: int) -> QCCode:
         base=tuple(tuple(int(v) for v in row) for row in base),
         vn_blocks=tuple(vn_blocks),
         cn_blocks=tuple(cn_blocks),
+        extra_edges=tuple(extra),
+        minus_edges=tuple(
+            (int(a), int(b), int(s) % z, int(r) % z)
+            for a, b, s, r in minus_edges
+        ),
     )
 
 

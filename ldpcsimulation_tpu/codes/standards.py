@@ -49,6 +49,7 @@ __all__ = [
     "DVBS2_RATE12_Q",
     "dvbs2_rate12_alist",
     "dvbs2_rate12",
+    "dvbs2_rate12_qc",
 ]
 
 # IEEE 802.11n rate-1/2, z=27 (n=648, k=324) prototype matrix.  −1 = zero
@@ -222,3 +223,51 @@ def dvbs2_rate12_alist() -> Alist:
 def dvbs2_rate12() -> Code:
     """The real DVB-S2 rate-1/2 code as a generic slot-array Code."""
     return build_code(dvbs2_rate12_alist())
+
+
+@functools.lru_cache(maxsize=None)
+def dvbs2_rate12_qc():
+    """The real DVB-S2 rate-1/2 code as a generalized QC structure.
+
+    Under the q-interleave relabeling (q = 90) of rows and parity columns
+    — ``i -> (i mod q, i div q)`` as (block, offset) — the standard's H is
+    block-circulant at z = 360 (info column group g, address x: block row
+    ``x mod q``, shift ``-(x div q) mod z``; staircase parity: shift-0
+    identity pairs plus one shift-359 corner block missing a single edge,
+    the weight-1 final column).  Eight info blocks carry two shifts
+    (addresses colliding mod q) and the corner defect is recorded in
+    ``minus_edges`` — the bit-flip graph ops handle both exactly
+    (decoders/qc_ops.py).
+
+    Returns a :class:`..codes.qc_detect.DetectedQC`:
+    ``expand(qc) == H[row_perm][:, col_perm]`` edge-exactly (asserted in
+    tests against :func:`dvbs2_rate12_alist`).
+    """
+    from .qc import build_qc_code_edges
+    from .qc_detect import DetectedQC
+
+    z = 360
+    q = DVBS2_RATE12_Q  # 90
+    m = z * q
+    k = 32400
+    gi = k // z  # 90 info groups
+    edges = []
+    for g, addrs in enumerate(DVBS2_RATE12_ADDRESSES):
+        for x in addrs:
+            edges.append((x % q, g, (-(x // q)) % z))
+    # staircase parity: col group gi+w holds parity cols t ≡ w (mod q)
+    for w in range(q):
+        edges.append((w, gi + w, 0))
+        if w + 1 < q:
+            edges.append((w + 1, gi + w, 0))
+        else:
+            edges.append((0, gi + w, z - 1))
+    minus = (((0, gi + q - 1, z - 1, 0),))
+    qc = build_qc_code_edges(edges, z, mb=q, nb=gi + q, minus_edges=minus)
+    i = np.arange(m)
+    # stored index i sits at permuted position (i mod q)*z + i div q;
+    # perm arrays give the ORIGINAL index at each permuted position
+    interleave = np.argsort((i % q) * z + i // q)
+    row_perm = interleave
+    col_perm = np.concatenate([np.arange(k), k + interleave])
+    return DetectedQC(qc=qc, row_perm=row_perm, col_perm=col_perm)

@@ -42,6 +42,12 @@ def decode_bp_layered_qc(
     early_termination: bool = False,
 ) -> DecodeResult:
     """Batched row-layered sum-product on a QC code.  llr: [B, N]."""
+    if qc.extra_edges or qc.minus_edges:
+        raise NotImplementedError(
+            "message-passing QC decoders require single-edge defect-free "
+            "blocks (multi-edge/defect codes route to qc_ops bit-flip "
+            "decoders or the generic path)"
+        )
     llr_t = jnp.asarray(llr).T
     n, b = llr_t.shape
     assert n == qc.n

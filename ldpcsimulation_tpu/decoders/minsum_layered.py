@@ -59,6 +59,12 @@ def decode_minsum_layered_qc(
     storage_dtype=None,
 ) -> DecodeResult:
     """Batched row-layered min-sum on a QC code.  y: [B, N]."""
+    if qc.extra_edges or qc.minus_edges:
+        raise NotImplementedError(
+            "message-passing QC decoders require single-edge defect-free "
+            "blocks (multi-edge/defect codes route to qc_ops bit-flip "
+            "decoders or the generic path)"
+        )
     y_t = jnp.asarray(y).T
     n, b = y_t.shape
     assert n == qc.n

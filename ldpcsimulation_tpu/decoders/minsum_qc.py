@@ -137,6 +137,12 @@ def decode_minsum_qc(
     trade measured at ~1% BER effect for f16 at the 2 dB operating point
     (vs ~60% for doing all arithmetic in bf16).
     """
+    if qc.extra_edges or qc.minus_edges:
+        raise NotImplementedError(
+            "message-passing QC decoders require single-edge defect-free "
+            "blocks (multi-edge/defect codes route to qc_ops bit-flip "
+            "decoders or the generic path)"
+        )
     y_t = jnp.asarray(y).T  # [N, B]
     n, b = y_t.shape
     assert n == qc.n, (n, qc.n)

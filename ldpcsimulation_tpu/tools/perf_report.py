@@ -145,6 +145,37 @@ def main(argv: Optional[List[str]] = None) -> int:
     record("min-sum T=10, generic slot arrays", gen.n, 504, step, frames, 10,
            bytes_per_frame_iter=msg_bytes(3024, gen.n) + 2 * 3024 * 4)
 
+    # generic path with f16 message storage (same flag as the QC flagship)
+    step, frames = mega(8192, 4, lambda k, b: jnp.sum(
+        decode_minsum(
+            gen, awgn(k, jnp.ones((b, gen.n), jnp.float32), sigma), 10,
+            storage_dtype=jnp.float16,
+        ).hard != 1))
+    record("min-sum T=10, generic f16 storage", gen.n, 504, step, frames,
+           10, bytes_per_frame_iter=msg_bytes(3024, gen.n, storage=2)
+           + 2 * 3024 * 4)
+
+    # min-sum on the REAL 802.3an H (unstructured: generic gathers, f16)
+    import os as _os2
+    real_ms_path = (
+        "/root/reference/C_implementations/codes/802_3/802_3_H.alist"
+    )
+    if _os2.path.exists(real_ms_path):
+        from ..codes import load_alist as _load_alist2
+
+        real_ms = build_code(_load_alist2(real_ms_path))
+        sigma_r = float(snr_to_sigma(4.25, 0.8413))
+        step, frames = mega(8192, 2, lambda k, b: jnp.sum(
+            decode_minsum(
+                real_ms,
+                awgn(k, jnp.ones((b, real_ms.n), jnp.float32), sigma_r),
+                10, storage_dtype=jnp.float16,
+            ).hard != 1))
+        record("min-sum T=10, REAL 802.3an H, generic f16", real_ms.n,
+               1723, step, frames, 10,
+               bytes_per_frame_iter=msg_bytes(12288, real_ms.n, storage=2)
+               + 2 * 12288 * 4)
+
     # BP QC, early termination, T=30
     step, frames = mega(8192, 4, lambda k, b: jnp.sum(
         decode_bp_qc(

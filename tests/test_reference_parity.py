@@ -844,3 +844,53 @@ def test_systemc_ngdbf_matches_reference(ref_systemc_bin, tmp_path):
         batch_size=512, awgn_form="additive", seed=99,
     )
     _assert_close_ber(stats.ber, ref_ber, factor=2.0)
+
+
+def test_smngdbf_4376_highrate_matches_reference(ref_smngdbf, tmp_path):
+    """SM-NGDBF on the reference's REAL 4376.282 high-rate code (the last
+    untouched BASELINE row).
+
+    The script's own operating point (ngdbf_example_4376.282.4.9598.sh:
+    alpha=0.75 at 4.0-5.5 dB) DIVERGES on the reference binary itself
+    (FER=1, avg iters = T at every SNR tried) — the same stale-alpha rot
+    as the PEG script: 0.75 was tuned for the old w=alpha*Ymax/dv
+    semantics, and 0.75*2.5/4 = 0.47 restores working behavior
+    (reference: BER ~1.2e-3 at 5.5 dB, avg ~110 iters; 8.1e-6 at 6 dB).
+    Parity is asserted at the working 5.5 dB point."""
+    from ldpcsimulation_tpu.channel import saturate, snr_to_sigma
+    from ldpcsimulation_tpu.decoders.gdbf import decode_gdbf, preset
+
+    alist_path = require_reference(
+        "C_implementations/codes/4376.282.4.9598/4376.282.4.9598.alist"
+    )
+    code = build_code(load_alist(alist_path))
+    assert code.n == 4376 and code.m == 282
+    snr, T, theta, alpha = 5.5, 300, -0.7, 0.47
+    log = str(tmp_path / "hr.log")
+    subprocess.run(
+        [ref_smngdbf, alist_path, "0.9356", str(snr), str(T), str(theta),
+         log, "0.65", "0.993", str(alpha), "64", "2.5"],
+        check=True, capture_output=True, timeout=900,
+    )
+    row = open(log).read().strip().splitlines()[-1].split("\t")
+    ref_ber, ref_iters = float(row[1]), float(row[2])
+
+    cfg = preset(
+        "SMNGDBF", num_iterations=T, theta=theta, noise_scale=0.65,
+        lam=0.993, alpha=alpha, window_size=64,
+    )
+    sigma = float(snr_to_sigma(snr, 0.9356))
+    stats = simulate(
+        code,
+        lambda yq, key: decode_gdbf(code, yq, sigma, cfg, key=key),
+        snr_db=snr,
+        rate=0.9356,
+        stop=StopRule.fixed_frames(512),
+        batch_size=256,
+        preprocess=lambda y: saturate(y, 2.5),
+        seed=55,
+    )
+    assert 0.82 < stats.avg_iterations / ref_iters < 1.22, (
+        stats.avg_iterations, ref_iters,
+    )
+    _assert_close_ber(stats.ber, ref_ber, factor=1.8)

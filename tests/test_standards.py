@@ -112,3 +112,62 @@ def test_wifi_648_decodes():
     res = decode_minsum_qc(qc, y, 20, early_termination=True)
     hard = np.asarray(res.hard)
     assert (hard == 1).mean() > 0.995  # nearly all frames fully corrected
+
+
+def test_dvbs2_qc_structure_edge_exact():
+    """The generalized z=360 QC form of the real DVB-S2 code expands to
+    exactly H[row_perm][:, col_perm] (multi-edge blocks + corner defect)."""
+    from ldpcsimulation_tpu.codes.standards import dvbs2_rate12_qc
+
+    det = dvbs2_rate12_qc()
+    qc = det.qc
+    assert qc.z == 360 and qc.mb == 90 and qc.nb == 180
+    assert len(qc.extra_edges) == 8
+    assert qc.minus_edges == ((0, 179, 359, 0),)
+    exp = qc.to_alist()
+    ref = dvbs2_rate12_alist()
+    back = {
+        (int(det.row_perm[r]), int(det.col_perm[c]))
+        for r, lst in enumerate(exp.mlist)
+        for c in lst
+    }
+    orig = {(r, c) for r, lst in enumerate(ref.mlist) for c in lst}
+    assert back == orig
+
+
+def test_dvbs2_qc_ops_bit_exact():
+    """Roll-based syndrome ops on the generalized DVB-S2 QC structure
+    match the generic gather ops on the same (permuted) H exactly."""
+    import jax.numpy as jnp
+
+    from ldpcsimulation_tpu.codes.standards import dvbs2_rate12_qc
+    from ldpcsimulation_tpu.decoders.base import syndrome_from_hard
+    from ldpcsimulation_tpu.decoders.gdbf import _syndrome_sum_per_vn
+    from ldpcsimulation_tpu.decoders.qc_ops import (
+        qc_syndrome_bipolar,
+        qc_syndrome_sum_per_vn,
+    )
+
+    det = dvbs2_rate12_qc()
+    qc = det.qc
+    code = build_code(qc.to_alist())
+    rng = np.random.default_rng(5)
+    d = jnp.asarray(rng.choice([-1, 1], size=(code.n, 4)), jnp.int32)
+    syn_qc = np.asarray(qc_syndrome_bipolar(qc, d))
+    syn_gen = np.asarray(syndrome_from_hard(code, d))
+    np.testing.assert_array_equal(syn_qc, syn_gen)
+    ss_qc = np.asarray(qc_syndrome_sum_per_vn(qc, jnp.asarray(syn_gen)))
+    ss_gen = np.asarray(_syndrome_sum_per_vn(code, jnp.asarray(syn_gen)))
+    np.testing.assert_array_equal(ss_qc, ss_gen)
+
+
+def test_messaging_qc_decoders_reject_generalized():
+    import jax.numpy as jnp
+    import pytest as _pytest
+
+    from ldpcsimulation_tpu.codes.standards import dvbs2_rate12_qc
+    from ldpcsimulation_tpu.decoders.minsum_qc import decode_minsum_qc
+
+    qc = dvbs2_rate12_qc().qc
+    with _pytest.raises(NotImplementedError):
+        decode_minsum_qc(qc, jnp.ones((1, qc.n), jnp.float32), 2)
