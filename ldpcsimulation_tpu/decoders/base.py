@@ -33,6 +33,7 @@ __all__ = [
     "DecodeResult",
     "sgn_pos",
     "sgn_neg",
+    "storage_cast",
     "gather_cn",
     "gather_vn",
     "syndrome_from_hard",
@@ -76,6 +77,27 @@ def vma_like(x, ref):
     if x.dtype == jnp.bool_:
         return x | (z != 0)
     return x + z.astype(x.dtype)
+
+
+def storage_cast(x, sdt):
+    """Cast messages to the storage dtype, SATURATING at its finite range.
+
+    min-sum magnitudes grow roughly ×(dv+1) per iteration (each total sums
+    dv check messages plus the channel), so deep runs on high-degree codes
+    (802.3an: dv=6, T=10) exceed float16's 65504 and a plain ``astype``
+    produces ``inf``.  Gather-based decoders shrug that off (the CN min
+    recovers a finite magnitude), but the matmul interleavers multiply
+    messages by structural zeros — ``0 * inf = NaN`` — and one NaN poisons
+    the whole einsum block, sign-inverting entire frames.  Saturating the
+    store keeps every storage mode NaN-free and keeps the gather and
+    matmul decoders bit-identical at all operating points.  No-op for f32.
+    """
+    if jnp.issubdtype(sdt, jnp.floating):
+        info = jnp.finfo(sdt)
+        if info.bits < 32:
+            m = jnp.asarray(info.max, x.dtype)
+            x = jnp.clip(x, -m, m)
+    return x.astype(sdt)
 
 
 def sgn_pos(x):

@@ -39,6 +39,7 @@ from .base import (
     gather_vn,
     run_flooding,
     sgn_pos,
+    storage_cast,
 )
 
 __all__ = ["minsum_cn_update", "vn_update", "decode_minsum"]
@@ -164,7 +165,7 @@ def decode_minsum(
         elif variant == "offset":
             c2v = apply_offset(c2v, delta)
         v2c, _total, d = vn_update(code, y_t, c2v.astype(y_t.dtype))
-        return (v2c.astype(sdt), d)
+        return (storage_cast(v2c, sdt), d)
 
     d0 = jnp.where(y_t > 0, 1, -1).astype(jnp.int32)
     d, iters, done = run_flooding(

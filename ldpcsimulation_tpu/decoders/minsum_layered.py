@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 
 from ..codes.qc import QCCode
-from .base import DecodeResult, run_flooding, sgn_pos
+from .base import DecodeResult, run_flooding, sgn_pos, storage_cast
 from .minsum_qc import qc_check_satisfied
 
 __all__ = ["decode_minsum_layered_qc"]
@@ -111,7 +111,7 @@ def decode_minsum_layered_qc(
                     )
                 # immediate posterior update (the layered property)
                 q = q.at[bj].set(jnp.roll(qext[t] + out, shift, axis=0))
-                new_rows.append(out.astype(sdt))
+                new_rows.append(storage_cast(out, sdt))
             pad = [jnp.zeros((z, b), sdt)] * (dc_max - dc)
             L = L.at[bi].set(jnp.stack(new_rows + pad))
         return q, L

@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from ..codes.qc import QCCode
-from .base import DecodeResult, run_flooding, sgn_pos
+from .base import DecodeResult, run_flooding, sgn_pos, storage_cast
 
 __all__ = ["decode_minsum_qc", "qc_check_satisfied"]
 
@@ -166,7 +166,9 @@ def decode_minsum_qc(
         c2v_acc = c2v.astype(y_t.dtype)
         total = yb + jnp.sum(c2v_acc, axis=1)  # [Nb, z, B]
         v2c_new = jnp.where(
-            valid, (total[:, None] - c2v_acc).astype(sdt), jnp.zeros((), sdt)
+            valid,
+            storage_cast(total[:, None] - c2v_acc, sdt),
+            jnp.zeros((), sdt),
         )
         d = jnp.where(total > 0, 1, -1).astype(jnp.int32)
         return (v2c_new, d)

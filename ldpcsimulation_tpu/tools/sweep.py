@@ -149,6 +149,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     args = build_parser().parse_args(argv)
 
     qc = None
+    strat = None
     if args.code:
         from ..codes.library import load_named_qc
 
@@ -182,6 +183,19 @@ def main(argv: Optional[List[str]] = None) -> int:
                     f"({qc.mb}x{qc.nb} base) — using roll decoders",
                     file=sys.stderr,
                 )
+            if qc is None:
+                # Non-QC but stratified matrices (802.3an RS-LDPC) get the
+                # MXU one-hot interleaver instead of the gather path.
+                from ..codes.stratified import detect_stratified
+
+                strat = detect_stratified(alist)
+                if strat is not None:
+                    print(
+                        f"sweep: detected stratified structure "
+                        f"({strat.mb}x{strat.h} strata, {strat.kg} column "
+                        "groups) — using MXU one-hot decoders",
+                        file=sys.stderr,
+                    )
     else:
         from ..codes.construct import nb_regular
 
@@ -340,6 +354,18 @@ def main(argv: Optional[List[str]] = None) -> int:
                     alpha=alpha if alpha is not None else 1.0,
                     delta=delta if delta is not None else 0.0,
                     early_termination=args.early_termination,
+                )
+            elif strat is not None:
+                from ..decoders.minsum_stratified import (
+                    decode_minsum_stratified,
+                )
+
+                dec = lambda y, key: decode_minsum_stratified(
+                    strat, y, T, variant=variant,
+                    alpha=alpha if alpha is not None else 1.0,
+                    delta=delta if delta is not None else 0.0,
+                    early_termination=args.early_termination,
+                    storage_dtype=jnp.float16,
                 )
             else:
                 dec = lambda y, key: decode_minsum(

@@ -43,8 +43,16 @@ def main() -> int:
         preset,
     )
 
+    from ldpcsimulation_tpu.codes.construct import peg
+    from ldpcsimulation_tpu.codes.stratified import stratify
+    from ldpcsimulation_tpu.decoders.minsum_stratified import (
+        decode_minsum_stratified,
+    )
+
     print(f"device: {jax.devices()[0]}")
     code = make_regular_code(96, 48, 3, seed=0)
+    sc = stratify(peg(96, 48, 3, seed=7))
+    ys = jax.random.normal(jax.random.key(5), (64, 96)) + 1.0
     qc = qc_peg(12, 6, 3, z=8, seed=3)
     qcode = qc.to_code()
     nb = build_code(nb_regular(24, 12, 3, q=8, seed=1))
@@ -64,6 +72,10 @@ def main() -> int:
             code, y, 5, variant="offset", delta=0.2).hard),
         ("bp", lambda: decode_bp(
             code, llr_from_channel(y, n0), 5).hard),
+        ("minsum_strat", lambda: decode_minsum_stratified(sc, ys, 5).hard),
+        ("minsum_strat et f16", lambda: decode_minsum_stratified(
+            sc, ys, 5, early_termination=True,
+            storage_dtype=jnp.float16).hard),
         ("minsum_qc", lambda: decode_minsum_qc(qc, yq, 5).hard),
         ("minsum_qc f16", lambda: decode_minsum_qc(
             qc, yq, 5, storage_dtype=jnp.float16).hard),
