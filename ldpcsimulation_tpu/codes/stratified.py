@@ -117,12 +117,18 @@ jax.tree_util.register_dataclass(
 
 def _contiguous_strata(alist: Alist) -> Optional[List[List[int]]]:
     """Largest h | m whose contiguous h-row blocks give each column <=1
-    edge per block (the 802.3an layout).  None if no h >= dv_max works."""
+    edge per block (the 802.3an layout).  None if no useful h works.
+
+    Only *dense* strata qualify (mb <= 2*dv_max): every m has the
+    degenerate h=1 solution (48 one-row strata for a (96,48) code), whose
+    near-empty slot grid is both wasteful (cost ~dc/2) and a shape class
+    the TPU compiler handles badly (h=1 einsums reproducibly SIGSEGV the
+    remote compile helper).  Sparse cases fall back to greedy coloring."""
     m = alist.m
     dv_max = alist.dv_max
     for h in sorted((d for d in range(1, m + 1) if m % d == 0), reverse=True):
-        if m // h < dv_max:
-            continue  # a column's dv edges cannot fit 1-per-stratum
+        if not dv_max <= m // h <= 2 * dv_max:
+            continue  # strata must be dense: mb within [dv_max, 2*dv_max]
         seen = np.zeros((alist.n,), np.int64)
         ok = True
         for b in range(m // h):
