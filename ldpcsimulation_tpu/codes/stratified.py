@@ -171,6 +171,101 @@ def _greedy_row_strata(alist: Alist) -> List[List[int]]:
     return strata
 
 
+def _rs_exact_col_groups(
+    alist: Alist, row_strata: Sequence[Sequence[int]]
+) -> Optional[List[List[int]]]:
+    """Recover an *exact* equitable column partition for permutation-array
+    codes (802.3an RS-LDPC class) — ``n/h`` groups of exactly ``h``
+    columns, each an exact cover of all rows (zero padding, cost 1.0).
+
+    The RS-LDPC construction behind 802.3an (Djurdjevic et al.; the
+    reference ships it as an unstructured alist,
+    ``C_implementations/codes/802_3/802_3_H.alist``) makes H a dense array
+    of h×h permutation blocks: column ``(a, b)`` over GF(h) has its
+    stratum-``i`` edge at row ``a·x_i + b``.  Columns of equal slope ``a``
+    form the exact groups.  Slopes are not observable after the file's
+    row/column relabeling, but a same-slope *consistency relation* is:
+    for columns c, c' and strata i≠j, the "crossover" column with rows
+    ``(r_i(c'), r_j(c))`` has slope ``a + (b+b')/(x_i+x_j)``, identical
+    (char 2) to the mirrored crossover at ``(r_i(c), r_j(c'))`` — so
+    either both exist in H or neither does.  Different-slope pairs pass
+    each stratum-pair test with probability ~1/2, so ``C(mb,2)`` strata
+    give a ~2^-C(mb,2) false-positive rate; a mutual-neighbor filter
+    removes the stragglers and connected components are the groups.
+    Returns None (caller falls back to greedy coloring) if the structure
+    does not hold.
+    """
+    n, m = alist.n, alist.m
+    mb = len(row_strata)
+    if mb < 4 or n > 8192 or n % (m // mb) or m % mb:
+        return None  # need >=6 pair-tests; O(n^2) arrays must stay small
+    h = m // mb
+    if any(len(s) != h for s in row_strata):
+        return None
+    stratum_of = np.full(m, -1, np.int64)
+    rowpos = np.full(m, -1, np.int64)
+    for b, s in enumerate(row_strata):
+        for i, r in enumerate(s):
+            stratum_of[r] = b
+            rowpos[r] = i
+
+    # Per-column stratum-row tuple; requires exactly one edge per stratum.
+    R = np.full((n, mb), -1, np.int64)
+    for c in range(n):
+        rows = alist.nlist[c]
+        if len(rows) != mb:
+            return None
+        for r in rows:
+            b = stratum_of[r]
+            if R[c, b] >= 0:
+                return None
+            R[c, b] = rowpos[r]
+
+    exists = np.zeros((mb, mb, h, h), bool)
+    for i in range(mb):
+        for j in range(mb):
+            exists[i, j, R[:, i], R[:, j]] = True
+
+    conflict = np.zeros((n, n), bool)
+    for i in range(mb):
+        conflict |= R[:, i][:, None] == R[:, i][None, :]
+
+    passing = ~conflict
+    for i in range(mb):
+        for j in range(i + 1, mb):
+            E = exists[i, j]
+            passing &= E[R[:, i][None, :], R[:, j][:, None]] == (
+                E[R[:, i][:, None], R[:, j][None, :]]
+            )
+
+    # True groupmates share ~h-2 passing-neighbors; false positives ~0.
+    P = passing.astype(np.float32)  # float matmul: BLAS, ~50x int32
+    strong = passing & ((P @ P.T) >= h // 2)
+
+    color = np.full(n, -1, np.int64)
+    k = 0
+    for c in range(n):
+        if color[c] >= 0:
+            continue
+        stack = [c]
+        color[c] = k
+        while stack:
+            u = stack.pop()
+            for v in np.nonzero(strong[u])[0]:
+                if color[v] < 0:
+                    color[v] = int(k)
+                    stack.append(int(v))
+        k += 1
+    if k != n // h or (np.bincount(color) != h).any():
+        return None
+    groups = [np.nonzero(color == g)[0].tolist() for g in range(k)]
+    for grp in groups:  # each group must cover every row exactly once
+        rows = [r for c in grp for r in alist.nlist[c]]
+        if len(set(rows)) != m:
+            return None
+    return groups
+
+
 def _greedy_col_groups(alist: Alist, cap: int) -> List[List[int]]:
     """Capacity-bounded greedy coloring of the column conflict graph
     (columns sharing a row conflict); each color class is an independent
@@ -221,9 +316,11 @@ def stratify(
     h = max(len(s) for s in row_strata)
 
     if col_groups is None:
-        if cap is None:
-            cap = max(64, h)
-        col_groups = _greedy_col_groups(alist, cap)
+        col_groups = _rs_exact_col_groups(alist, row_strata)
+        if col_groups is None:
+            if cap is None:
+                cap = max(64, h)
+            col_groups = _greedy_col_groups(alist, cap)
     col_groups = [list(g) for g in col_groups]
     kg = len(col_groups)
     w = max(len(g) for g in col_groups)
@@ -301,8 +398,8 @@ def detect_stratified(
 
     Only codes whose strata are *dense* (mb close to dv) pay off; random
     codes (PEG, MacKay) produce sparse strata and stay on the generic
-    path.  ``max_cost`` bounds the slot-traffic overhead (1.0 = perfect,
-    802.3an = 1.5 at the greedy K=48 grouping).
+    path.  ``max_cost`` bounds the slot-traffic overhead (1.0 = perfect;
+    802.3an achieves exactly 1.0 via the RS exact partition).
     """
     if getattr(alist, "q", 0) and alist.q > 2:
         return None
