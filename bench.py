@@ -38,8 +38,8 @@ import jax.numpy as jnp
 
 def main() -> int:
     p = argparse.ArgumentParser()
-    p.add_argument("--batch", type=int, default=16384)
-    p.add_argument("--rounds", type=int, default=8,
+    p.add_argument("--batch", type=int, default=32768)
+    p.add_argument("--rounds", type=int, default=4,
                    help="channel+decode rounds per measured device call")
     p.add_argument("--iterations", type=int, default=10)
     p.add_argument("--snr-db", type=float, default=2.0)

@@ -38,6 +38,8 @@ __all__ = [
     "gather_vn",
     "syndrome_from_hard",
     "check_satisfied",
+    "run_flooding",
+    "run_flooding_soft",
 ]
 
 
@@ -220,3 +222,68 @@ def run_flooding(
         (jnp.int32(0), state0, d0, iters0, done0),
     )
     return d, iters, done
+
+
+def run_flooding_soft(
+    total0,
+    msgs0,
+    step,
+    satisfied_of,
+    num_iterations: int,
+    early_termination: bool,
+    batch: int,
+):
+    """Flooding driver for soft decoders whose hard decisions are the sign
+    of a posterior total that ``step`` computes anyway (BP / min-sum and
+    their QC/stratified forms).
+
+    step(msgs) -> (msgs', total)  — one full iteration.
+    total0: the pre-iteration posterior (the channel term), in the same
+    layout as step's total; supplies decisions when T == 0 and the
+    early-termination initial state.
+    satisfied_of(d) -> [B] bool, with d in total's layout.
+
+    Fixed-trip (the reference BP/min-sum semantics): the loop carries ONLY
+    the messages — the decisions of iterations 1..T-1 are dead values, and
+    carrying them costs a posterior-sized store per iteration (measured
+    ~8% of the flagship iteration time).  The T-th iteration runs outside
+    the loop so its total feeds the decision directly.
+
+    Early termination: the shared masked while_loop with an int8 decision
+    carry (values are ±1; 4x less traffic than int32).
+
+    Returns (d int32 in total's layout, iterations [B] i32, done [B] bool).
+    """
+    def d_of(total, dt):
+        return jnp.where(total > 0, 1, -1).astype(dt)
+
+    if not early_termination:
+        if num_iterations <= 0:
+            d = d_of(total0, jnp.int32)
+        else:
+            msgs = jax.lax.fori_loop(
+                0, num_iterations - 1, lambda _, m: step(m)[0], msgs0
+            )
+            _, total = step(msgs)
+            d = d_of(total, jnp.int32)
+        return (
+            d,
+            jnp.full((batch,), num_iterations, jnp.int32),
+            satisfied_of(d),
+        )
+
+    def step_et(st):
+        msgs, _d = st
+        msgs_new, total = step(msgs)
+        return (msgs_new, d_of(total, jnp.int8))
+
+    d, iters, done = run_flooding(
+        (msgs0, d_of(total0, jnp.int8)),
+        step_et,
+        lambda st: st[1],
+        satisfied_of,
+        num_iterations,
+        True,
+        batch,
+    )
+    return d.astype(jnp.int32), iters, done

@@ -30,7 +30,13 @@ import jax
 import jax.numpy as jnp
 
 from ..codes.code import Code
-from .base import DecodeResult, check_satisfied, gather_cn, run_flooding, sgn_pos
+from .base import (
+    DecodeResult,
+    check_satisfied,
+    gather_cn,
+    run_flooding_soft,
+    sgn_pos,
+)
 from .minsum import vn_update
 
 __all__ = ["bp_cn_update", "decode_bp", "MAXLLR"]
@@ -102,15 +108,13 @@ def decode_bp(
     b = llr_t.shape[1]
     v2c0 = jnp.repeat(llr_t, code.dv_max, axis=0)
 
-    def step(st):
-        v2c, _d = st
+    def step(v2c):
         c2v = bp_cn_update(code, v2c)
-        v2c, _total, d = vn_update(code, llr_t, c2v, clamp=max_llr)
-        return (v2c, d)
+        v2c, total, _d = vn_update(code, llr_t, c2v, clamp=max_llr)
+        return v2c, total
 
-    d0 = jnp.where(llr_t > 0, 1, -1).astype(jnp.int32)
-    d, iters, done = run_flooding(
-        (v2c0, d0), step, lambda st: st[1],
+    d, iters, done = run_flooding_soft(
+        llr_t, v2c0, step,
         lambda d: check_satisfied(code, d),
         num_iterations, early_termination, b,
     )

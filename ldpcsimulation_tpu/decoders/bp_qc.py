@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 
 from ..codes.qc import QCCode
-from .base import DecodeResult, run_flooding, sgn_pos
+from .base import DecodeResult, run_flooding_soft, sgn_pos
 from .bp import MAXLLR, _phi
 from .minsum_qc import _vn_slot_index, qc_check_satisfied
 
@@ -97,18 +97,15 @@ def decode_bp_qc(
         ]
     )[:, :, None, None]
 
-    def step(st):
-        v2c, _d = st
+    def step(v2c):
         c2v = qc_cn_bp(qc, v2c)
         total = yb + jnp.sum(c2v, axis=1)
         v2c_new = jnp.clip(total[:, None] - c2v, -max_llr, max_llr)
         v2c_new = jnp.where(valid, v2c_new, jnp.zeros_like(v2c_new))
-        d = jnp.where(total > 0, 1, -1).astype(jnp.int32)
-        return (v2c_new, d)
+        return v2c_new, total
 
-    d0 = jnp.where(yb > 0, 1, -1).astype(jnp.int32)
-    d, iters, done = run_flooding(
-        (v2c0, d0), step, lambda st: st[1],
+    d, iters, done = run_flooding_soft(
+        yb, v2c0, step,
         lambda d: qc_check_satisfied(qc, d),
         num_iterations, early_termination, b,
     )

@@ -37,7 +37,7 @@ from .base import (
     check_satisfied,
     gather_cn,
     gather_vn,
-    run_flooding,
+    run_flooding_soft,
     sgn_pos,
     storage_cast,
 )
@@ -157,19 +157,17 @@ def decode_minsum(
     # (decodeMinSum.cpp:364-370).
     v2c0 = jnp.repeat(y_t, code.dv_max, axis=0).astype(sdt)
 
-    def step(st):
-        v2c, _d = st
+    def step(v2c):
         c2v = minsum_cn_update(code, v2c)
         if variant == "normalized":
             c2v = apply_normalization(c2v, alpha)
         elif variant == "offset":
             c2v = apply_offset(c2v, delta)
-        v2c, _total, d = vn_update(code, y_t, c2v.astype(y_t.dtype))
-        return (storage_cast(v2c, sdt), d)
+        v2c, total, _d = vn_update(code, y_t, c2v.astype(y_t.dtype))
+        return storage_cast(v2c, sdt), total
 
-    d0 = jnp.where(y_t > 0, 1, -1).astype(jnp.int32)
-    d, iters, done = run_flooding(
-        (v2c0, d0), step, lambda st: st[1],
+    d, iters, done = run_flooding_soft(
+        y_t, v2c0, step,
         lambda d: check_satisfied(code, d),
         num_iterations, early_termination, b,
     )

@@ -22,9 +22,10 @@ import jax
 import jax.numpy as jnp
 
 from ..codes.qc import QCCode
-from .base import DecodeResult, run_flooding, sgn_pos, storage_cast
+from .base import DecodeResult, run_flooding_soft, sgn_pos, storage_cast
 
-__all__ = ["decode_minsum_qc", "qc_check_satisfied"]
+__all__ = ["decode_minsum_qc", "qc_check_satisfied", "qc_cn_minsum",
+           "qc_cn_minsum_slots"]
 
 
 def _vn_slot_index(qc: QCCode):
@@ -41,11 +42,19 @@ def _vn_slot_index(qc: QCCode):
     return table
 
 
-def qc_cn_minsum(qc: QCCode, v2c, variant="plain", alpha=1.0, delta=0.0):
-    """CN update + variant post-op, returning c2v in VN layout.
+def qc_cn_minsum_slots(qc: QCCode, v2c, variant="plain", alpha=1.0, delta=0.0):
+    """CN update + variant post-op, returning c2v slot EXPRESSIONS in VN
+    layout: ``slots[bj][s]`` is a ``[z, B]`` array for VN block ``bj``'s
+    ``s``-th edge block.
 
-    v2c: [Nb, dv_max, z, B] -> c2v_vn: [Nb, dv_max, z, B].
-    Identical scan semantics to minsum_cn_update (<= last-min-wins).
+    Returning the unstacked list lets the VN update consume the c2v values
+    as fused expressions — XLA CSEs the shared slot between the total sum
+    and the extrinsic subtraction, so the stacked ``[Nb, dv_max, z, B]``
+    c2v buffer is never materialized in HBM (measured ~12% of the flagship
+    iteration time on v5e).
+
+    v2c: [Nb, dv_max, z, B].  Identical scan semantics to minsum_cn_update
+    (<= last-min-wins).
     """
     z = qc.z
     dtype = v2c.dtype
@@ -83,9 +92,16 @@ def qc_cn_minsum(qc: QCCode, v2c, variant="plain", alpha=1.0, delta=0.0):
                 out = jnp.where(m2 > 0, sgn_pos(out) * m2, jnp.zeros_like(out))
             bj, s, shift = table[bi][t]
             c2v_slots[bj][s] = jnp.roll(out, shift, axis=0)
+    return c2v_slots
 
-    # assemble [Nb, dv_max, z, B]; missing slots (irregular dv) are zero
-    zero = jnp.zeros((z, b), dtype)
+
+def qc_cn_minsum(qc: QCCode, v2c, variant="plain", alpha=1.0, delta=0.0):
+    """CN update + variant post-op, returning c2v stacked in VN layout
+    ``[Nb, dv_max, z, B]`` (missing irregular slots are zero)."""
+    c2v_slots = qc_cn_minsum_slots(qc, v2c, variant, alpha, delta)
+    z = qc.z
+    b = v2c.shape[-1]
+    zero = jnp.zeros((z, b), v2c.dtype)
     planes = []
     for bj in range(qc.nb):
         slots = list(c2v_slots[bj]) + [zero] * (
@@ -152,31 +168,38 @@ def decode_minsum_qc(
 
     # initializeSymMessages: all slots start at the channel sample
     v2c0 = jnp.broadcast_to(yb[:, None], (qc.nb, dv_max, qc.z, b)).astype(sdt)
-    # static slot-validity mask per (bj, s)
-    valid = jnp.asarray(
-        [
-            [s < len(qc.vn_blocks[bj]) for s in range(dv_max)]
-            for bj in range(qc.nb)
-        ]
-    )[:, :, None, None]
+    zero = jnp.zeros((qc.z, b), sdt)
 
-    def step(st):
-        v2c, _d = st
-        c2v = qc_cn_minsum(qc, v2c, variant, alpha, delta)
-        c2v_acc = c2v.astype(y_t.dtype)
-        total = yb + jnp.sum(c2v_acc, axis=1)  # [Nb, z, B]
-        v2c_new = jnp.where(
-            valid,
-            storage_cast(total[:, None] - c2v_acc, sdt),
-            jnp.zeros((), sdt),
-        )
-        d = jnp.where(total > 0, 1, -1).astype(jnp.int32)
-        return (v2c_new, d)
+    def step(v2c):
+        """One flooding iteration.  Returns (v2c_new, totals).
 
-    d0 = jnp.where(yb > 0, 1, -1).astype(jnp.int32)
-    d, iters, done = run_flooding(
-        (v2c0, d0), step, lambda st: st[1],
+        The c2v slots stay unstacked expressions: each is consumed by the
+        per-block total (left-fold, matching jnp.sum's reduce order so the
+        f32 rounding — and therefore every hard decision — is bit-exact
+        with the stacked formulation) and by the extrinsic subtraction,
+        which XLA CSEs into one fused computation with no materialized
+        [Nb, dv_max, z, B] c2v buffer.
+        """
+        slots = qc_cn_minsum_slots(qc, v2c, variant, alpha, delta)
+        totals = []
+        planes = []
+        for bj in range(qc.nb):
+            acc = None
+            accs = [s.astype(y_t.dtype) for s in slots[bj]]
+            for sa in accs:
+                acc = sa if acc is None else acc + sa
+            total = yb[bj] + acc  # [z, B]
+            totals.append(total)
+            pl = [storage_cast(total - sa, sdt) for sa in accs]
+            pl += [zero] * (dv_max - len(pl))
+            planes.append(jnp.stack(pl))
+        return jnp.stack(planes), jnp.stack(totals)
+
+    d, iters, done = run_flooding_soft(
+        yb, v2c0, step,
         lambda d: qc_check_satisfied(qc, d),
         num_iterations, early_termination, b,
     )
-    return DecodeResult(hard=d.reshape(n, b).T, iterations=iters, satisfied=done)
+    return DecodeResult(
+        hard=d.reshape(n, b).T, iterations=iters, satisfied=done
+    )

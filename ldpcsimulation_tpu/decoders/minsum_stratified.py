@@ -38,7 +38,7 @@ import jax
 import jax.numpy as jnp
 
 from ..codes.stratified import StratifiedCode
-from .base import DecodeResult, run_flooding, sgn_pos, storage_cast
+from .base import DecodeResult, run_flooding_soft, sgn_pos, storage_cast
 
 __all__ = [
     "decode_minsum_stratified",
@@ -170,8 +170,7 @@ def decode_minsum_stratified(
         vnv, jnp.broadcast_to(yg[None], (sc.mb, sc.kg, sc.w, b)), 0.0
     ).astype(sdt)
 
-    def step(st):
-        v2c, _d = st
+    def step(v2c):
         v2c_cn = stratified_to_cn(sc, v2c)
         c2v_cn = _cn_minsum(sc, v2c_cn, variant, alpha, delta)
         c2v = stratified_to_vn(sc, c2v_cn).astype(y_t.dtype)
@@ -179,12 +178,10 @@ def decode_minsum_stratified(
         total = yg + jnp.sum(c2v, axis=0)  # [kg, w, B]
         v2c_new = jnp.where(vnv, storage_cast(total[None] - c2v, sdt),
                             jnp.zeros((), sdt))
-        d = jnp.where(total > 0, 1, -1).astype(jnp.int32)
-        return (v2c_new, d)
+        return v2c_new, total
 
-    d0 = jnp.where(yg > 0, 1, -1).astype(jnp.int32)
-    d, iters, done = run_flooding(
-        (v2c0, d0), step, lambda st: st[1],
+    d, iters, done = run_flooding_soft(
+        yg, v2c0, step,
         lambda d: stratified_check_satisfied(sc, d),
         num_iterations, early_termination, b,
     )

@@ -176,6 +176,27 @@ def main(argv: Optional[List[str]] = None) -> int:
                bytes_per_frame_iter=msg_bytes(12288, real_ms.n, storage=2)
                + 2 * 12288 * 4)
 
+        # same H through the stratified MXU one-hot path (the exact RS
+        # 32x64 column partition, codes/stratified.py)
+        from ..codes.stratified import detect_stratified as _detect_strat
+        from ..decoders.minsum_stratified import (
+            decode_minsum_stratified as _dec_strat,
+        )
+
+        sc_real = _detect_strat(_load_alist2(real_ms_path))
+        if sc_real is not None:
+            step, frames = mega(16384, 2, lambda k, b: jnp.sum(
+                _dec_strat(
+                    sc_real,
+                    awgn(k, jnp.ones((b, sc_real.n), jnp.float32), sigma_r),
+                    10, storage_dtype=jnp.float16,
+                ).hard != 1))
+            record(
+                "min-sum T=10, REAL 802.3an H, stratified MXU one-hot "
+                f"(cost {sc_real.cost:g})",
+                sc_real.n, 1723, step, frames, 10,
+            )
+
     # BP QC, early termination, T=30
     step, frames = mega(8192, 4, lambda k, b: jnp.sum(
         decode_bp_qc(
