@@ -21,8 +21,11 @@ from .minsum_qc import _vn_slot_index, qc_check_satisfied
 __all__ = ["decode_bp_qc"]
 
 
-def qc_cn_bp(qc: QCCode, v2c):
-    """Sum-product CN update, [Nb, dv_max, z, B] -> same shape (VN layout)."""
+def qc_cn_bp_slots(qc: QCCode, v2c):
+    """Sum-product CN update on [Nb, dv_max, z, B] v2c, returning c2v slot
+    EXPRESSIONS in VN layout (``slots[bj][s]`` = [z, B]), never stacked —
+    the VN update consumes them fused (see minsum_qc.qc_cn_minsum_slots
+    for the rationale)."""
     z = qc.z
     dtype = v2c.dtype
     b = v2c.shape[-1]
@@ -53,15 +56,7 @@ def qc_cn_bp(qc: QCCode, v2c):
             out = (pre_s[t] * suf_s[t]) * _phi(pre_m[t] + suf_m[t])
             bj, s, shift = table[bi][t]
             c2v_slots[bj][s] = jnp.roll(out, shift, axis=0)
-
-    zero = jnp.zeros((z, b), dtype)
-    planes = []
-    for bj in range(qc.nb):
-        slots = list(c2v_slots[bj]) + [zero] * (
-            qc.dv_max - len(c2v_slots[bj])
-        )
-        planes.append(jnp.stack(slots))
-    return jnp.stack(planes)
+    return c2v_slots
 
 
 @functools.partial(
@@ -90,19 +85,26 @@ def decode_bp_qc(
     v2c0 = jnp.broadcast_to(yb[:, None], (qc.nb, dv_max, qc.z, b)).astype(
         llr_t.dtype
     )
-    valid = jnp.asarray(
-        [
-            [s < len(qc.vn_blocks[bj]) for s in range(dv_max)]
-            for bj in range(qc.nb)
-        ]
-    )[:, :, None, None]
+    zero = jnp.zeros((qc.z, b), llr_t.dtype)
 
     def step(v2c):
-        c2v = qc_cn_bp(qc, v2c)
-        total = yb + jnp.sum(c2v, axis=1)
-        v2c_new = jnp.clip(total[:, None] - c2v, -max_llr, max_llr)
-        v2c_new = jnp.where(valid, v2c_new, jnp.zeros_like(v2c_new))
-        return v2c_new, total
+        # c2v slots stay unstacked; left-fold sum matches jnp.sum's reduce
+        # order so decisions are bit-exact with the stacked formulation.
+        slots = qc_cn_bp_slots(qc, v2c)
+        totals = []
+        planes = []
+        for bj in range(qc.nb):
+            acc = None
+            for sa in slots[bj]:
+                acc = sa if acc is None else acc + sa
+            total = yb[bj] + acc
+            totals.append(total)
+            pl = [
+                jnp.clip(total - sa, -max_llr, max_llr) for sa in slots[bj]
+            ]
+            pl += [zero] * (dv_max - len(pl))
+            planes.append(jnp.stack(pl))
+        return jnp.stack(planes), jnp.stack(totals)
 
     d, iters, done = run_flooding_soft(
         yb, v2c0, step,

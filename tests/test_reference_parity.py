@@ -10,6 +10,7 @@ checkout or toolchain is unavailable.
 
 import os
 import subprocess
+import zlib
 
 import jax
 import jax.numpy as jnp
@@ -701,7 +702,7 @@ def test_gdbf_family_matches_reference(case, ref_gdbf_family, tmp_path):
         stop=StopRule.fixed_frames(1024),
         batch_size=512,
         preprocess=pre,
-        seed=hash(name) % 100000,
+        seed=zlib.crc32(name.encode()) % 100000,
     )
     # average iterations is the low-variance statistic: tight bound
     assert 0.82 < stats.avg_iterations / ref_iters < 1.22, (
