@@ -895,3 +895,95 @@ def test_smngdbf_4376_highrate_matches_reference(ref_smngdbf, tmp_path):
         stats.avg_iterations, ref_iters,
     )
     _assert_close_ber(stats.ber, ref_ber, factor=1.8)
+
+
+# ---------------------------------------------------------------------------
+# SystemC NGDBF: build the reference's event-driven simulator (ldpcsim.x)
+# against the original minimal kernel in native/scsim and cross-run it.
+# ---------------------------------------------------------------------------
+
+SC_ROOT = "SystemC/NGDBF"
+SC_ALIST = f"{SC_ROOT}/codes/PegReg/PEGReg504x1008.alist"
+
+
+@pytest.fixture(scope="session")
+def ref_ldpcsim(tmp_path_factory):
+    """Compile SystemC/NGDBF/src/*.cpp with the scsim shim kernel.
+
+    The reference needs a real SystemC installation (Makefile:54 hardcodes
+    /home/reiss/systemc); native/scsim/systemc.h implements the subset of
+    IEEE 1666 the design uses, so the *actual reference program* runs here.
+    The vendored sc_vector.h is skipped via its own include guard."""
+    src = require_reference(f"{SC_ROOT}/src")
+    shim = os.path.join(os.path.dirname(__file__), "..", "native", "scsim")
+    out = tmp_path_factory.mktemp("scsim") / "ldpcsim.x"
+    import glob as _glob
+
+    try:
+        subprocess.run(
+            ["g++", "-O2", "-w", f"-I{shim}",
+             f"-I{os.path.join(REFERENCE_ROOT, SC_ROOT, 'inc')}",
+             "-DSC_VECTOR_H_INCLUDED_",
+             *_glob.glob(f"{src}/*.cpp"),
+             os.path.join(shim, "scsim_main.cpp"),
+             "-o", str(out), "-lm"],
+            check=True, capture_output=True, timeout=300,
+        )
+    except (subprocess.CalledProcessError, FileNotFoundError) as e:
+        pytest.skip(f"cannot build ldpcsim.x against scsim shim: {e}")
+    return str(out)
+
+
+def test_systemc_ldpcsim_matches_reference(ref_ldpcsim, tmp_path):
+    """Statistical parity of decode_ngdbf_systemc vs the COMPILED SystemC
+    reference at SNR 2.5, T=300, theta=-0.5, lambda=0.975, 4-bit, Ymax=3,
+    alpha=0.95 (example.sh operating point at a converging SNR).
+
+    The reference's example.sh stimulus (codes/PegReg/data.enc) is absent
+    from the tree, and running with a missing file makes the testbench
+    index empty getline() strings (LDPC_testbench.h:105,136 — UB, observed
+    nondeterministic).  A generated all-zero-codeword stimulus matches our
+    harness's all-zero convention and makes ldpcsim.x bit-deterministic
+    (seeded by srandom's default)."""
+    from ldpcsimulation_tpu.channel import snr_to_sigma
+    from ldpcsimulation_tpu.decoders.ngdbf_systemc import (
+        SystemCNGDBFConfig,
+        decode_ngdbf_systemc,
+    )
+
+    alist_path = require_reference(SC_ALIST)
+    code = build_code(load_alist(alist_path))
+    assert code.n == 1008 and code.m == 504  # transposed-alist autodetect
+
+    stim = tmp_path / "zeros.enc"
+    stim.write_text(("0" * code.n + "\n") * 4000)
+    log = str(tmp_path / "sc")
+    r = subprocess.run(
+        [ref_ldpcsim, alist_path, str(stim), "0.5", "2.5", "300", "40000",
+         "0.975", "-0.5", "4", "3", "0.95", log],
+        check=True, capture_output=True, timeout=600, text=True,
+    )
+    row = open(log + ".dat").read().strip().splitlines()[-1].split("\t")
+    ref_ber, ref_fer, ref_iters = (
+        float(row[0]), float(row[1]), float(row[2])
+    )
+    assert ref_fer > 0.2  # the stop rule actually engaged
+
+    cfg = SystemCNGDBFConfig(
+        num_iterations=300, theta=-0.5, lam=0.975, alpha=0.95, ymax=3.0,
+        nq_levels=16, smoothed=True,
+    )
+    sigma = float(snr_to_sigma(2.5, 0.5))
+    stats = simulate(
+        code,
+        lambda y, key: decode_ngdbf_systemc(code, y, sigma, cfg, key=key),
+        snr_db=2.5, rate=0.5, stop=StopRule.fixed_frames(512),
+        batch_size=256, awgn_form="additive", seed=7,
+    )
+    _assert_close_ber(stats.ber, ref_ber, factor=1.6)
+    assert 0.7 < stats.fer / ref_fer < 1.4, (stats.fer, ref_fer)
+    # ldpcsim.x counts handshake clock cycles; ours counts symbol-update
+    # rounds (module docstring) — a few-cycle offset on ~200 iterations.
+    assert 0.80 < stats.avg_iterations / ref_iters < 1.15, (
+        stats.avg_iterations, ref_iters,
+    )
