@@ -58,9 +58,10 @@ class QCCode:
       * ``minus_edges`` — individual edges ABSENT from an otherwise-full
         circulant (DVB-S2's weight-1 final accumulator column).  Each
         entry (bi, bj, shift, r) removes the edge at row offset r of that
-        circulant.  Only the bit-flip graph ops (:mod:`..decoders.qc_ops`)
-        support defects; the message-passing QC decoders require
-        ``minus_edges == ()``.
+        circulant.  Both the bit-flip graph ops (:mod:`..decoders.qc_ops`)
+        and the message-passing QC decoders (via
+        :func:`..decoders.minsum_qc.qc_slot_plan` masks) support these
+        generalizations.
     """
 
     z: int

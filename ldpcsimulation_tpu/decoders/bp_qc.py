@@ -16,7 +16,13 @@ import jax.numpy as jnp
 from ..codes.qc import QCCode
 from .base import DecodeResult, run_flooding_soft, sgn_pos
 from .bp import MAXLLR, _phi
-from .minsum_qc import _vn_slot_index, qc_check_satisfied
+from .minsum_qc import (
+    _swap_scan_views,
+    _unswap_outputs,
+    _vn_fold,
+    qc_check_satisfied,
+    qc_slot_plan,
+)
 
 __all__ = ["decode_bp_qc"]
 
@@ -25,18 +31,25 @@ def qc_cn_bp_slots(qc: QCCode, v2c):
     """Sum-product CN update on [Nb, dv_max, z, B] v2c, returning c2v slot
     EXPRESSIONS in VN layout (``slots[bj][s]`` = [z, B]), never stacked —
     the VN update consumes them fused (see minsum_qc.qc_cn_minsum_slots
-    for the rationale)."""
+    for the rationale).  Generalized structures (multi-edge pairs, minus
+    edges) follow the qc_slot_plan masks: absent edges read +inf, whose
+    phi is exactly 0 and sign +1 — the fold's neutral element."""
     z = qc.z
     dtype = v2c.dtype
     b = v2c.shape[-1]
-    table = _vn_slot_index(qc)
+    cn_plan, _ = qc_slot_plan(qc)
+    inf = jnp.asarray(jnp.inf, dtype)
 
     c2v_slots = [[None] * len(qc.vn_blocks[bj]) for bj in range(qc.nb)]
     for bi in range(qc.mb):
-        views = [
-            jnp.roll(v2c[bj, s], -shift, axis=0)
-            for (bj, s, shift) in table[bi]
-        ]
+        entries = cn_plan[bi]
+        phys = []
+        for e in entries:
+            msg = jnp.roll(v2c[e.bj, e.vslot], -e.shift, axis=0)
+            if e.cn_mask is not None:
+                msg = jnp.where(jnp.asarray(e.cn_mask)[:, None], inf, msg)
+            phys.append(msg)
+        views = _swap_scan_views(entries, phys)
         mags = [_phi(jnp.abs(v)) for v in views]
         signs = [sgn_pos(v) for v in views]
         dc = len(views)
@@ -52,10 +65,13 @@ def qc_cn_bp_slots(qc: QCCode, v2c):
             suf_s.append(suf_s[-1] * signs[t])
         suf_m.reverse()
         suf_s.reverse()
-        for t in range(dc):
-            out = (pre_s[t] * suf_s[t]) * _phi(pre_m[t] + suf_m[t])
-            bj, s, shift = table[bi][t]
-            c2v_slots[bj][s] = jnp.roll(out, shift, axis=0)
+        outs = [
+            (pre_s[t] * suf_s[t]) * _phi(pre_m[t] + suf_m[t])
+            for t in range(dc)
+        ]
+        outs = _unswap_outputs(entries, outs)
+        for t, e in enumerate(entries):
+            c2v_slots[e.bj][e.vslot] = jnp.roll(outs[t], e.shift, axis=0)
     return c2v_slots
 
 
@@ -71,12 +87,6 @@ def decode_bp_qc(
     early_termination: bool = False,
 ) -> DecodeResult:
     """Batched flooding sum-product on a QC code.  llr: [B, N]."""
-    if qc.extra_edges or qc.minus_edges:
-        raise NotImplementedError(
-            "message-passing QC decoders require single-edge defect-free "
-            "blocks (multi-edge/defect codes route to qc_ops bit-flip "
-            "decoders or the generic path)"
-        )
     llr_t = jnp.asarray(llr).T
     n, b = llr_t.shape
     assert n == qc.n
@@ -86,6 +96,7 @@ def decode_bp_qc(
         llr_t.dtype
     )
     zero = jnp.zeros((qc.z, b), llr_t.dtype)
+    _, vn_plan = qc_slot_plan(qc)
 
     def step(v2c):
         # c2v slots stay unstacked; left-fold sum matches jnp.sum's reduce
@@ -94,10 +105,7 @@ def decode_bp_qc(
         totals = []
         planes = []
         for bj in range(qc.nb):
-            acc = None
-            for sa in slots[bj]:
-                acc = sa if acc is None else acc + sa
-            total = yb[bj] + acc
+            total = yb[bj] + _vn_fold(vn_plan[bj], slots[bj])
             totals.append(total)
             pl = [
                 jnp.clip(total - sa, -max_llr, max_llr) for sa in slots[bj]

@@ -10,8 +10,12 @@ moves min-sum from gather-bound (~0.84 ms per iteration at B=8192 on the
 
 Message layout: ``v2c[Nb, dv_max, z, B]`` — base-column planes of z×B
 circulant rows, batch in lanes.  Invalid (irregular) slots hold zeros and
-are statically skipped: QC blocks are all-or-nothing, so no per-row masking
-is needed anywhere.
+are statically skipped.  Plain QC blocks are all-or-nothing (no per-row
+masking); the generalized structures of real standards — multi-edge block
+pairs and single absent edges (DVB-S2 rate-1/2 under the q-row
+interleave, :mod:`..codes.standards`) — are handled with static per-row
+masks from :func:`qc_slot_plan`, keeping decisions bit-exact with the
+generic slot-array decoder on the same expanded H.
 """
 
 from __future__ import annotations
@@ -20,26 +24,182 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..codes.qc import QCCode
 from .base import DecodeResult, run_flooding_soft, sgn_pos, storage_cast
 
 __all__ = ["decode_minsum_qc", "qc_check_satisfied", "qc_cn_minsum",
-           "qc_cn_minsum_slots"]
+           "qc_cn_minsum_slots", "qc_slot_plan"]
 
 
 def _vn_slot_index(qc: QCCode):
     """For each (bi, t) CN slot, the (bj, s, shift) of its VN-side slot."""
-    table = []
+    return [
+        [(e.bj, e.vslot, e.shift) for e in row] for row in qc_slot_plan(qc)[0]
+    ]
+
+
+class _CNEntry:
+    """One circulant as seen from CN block ``bi`` (static plan data).
+
+    bj/vslot/shift: VN block, its slot index there, and the circulant
+    shift.  cn_mask: [z] bool marking CN row offsets whose edge is absent
+    (``minus_edges``) — masked reads use the neutral element (+inf: CN
+    min-scans skip it, phi(+inf)=0 and sgn +1 for BP).  pair_sw: for the
+    FIRST member of a same-(bi,bj) double circulant, the [z] bool mask of
+    CN rows where the expanded alist orders the SECOND circulant's column
+    first — the scan consumes row-wise swapped views so min-sum
+    tie-breaking and BP fold order stay bit-exact with the generic
+    decoder.  pair_second marks the second member.
+    """
+
+    __slots__ = ("bj", "vslot", "shift", "cn_mask", "pair_sw", "pair_second")
+
+    def __init__(self, bj, vslot, shift):
+        self.bj, self.vslot, self.shift = bj, vslot, shift
+        self.cn_mask = None
+        self.pair_sw = None
+        self.pair_second = False
+
+
+class _VNEntry:
+    """One circulant as seen from VN block ``bj`` (static plan data).
+
+    zero_mask: [z] bool of column offsets whose edge is absent — the c2v
+    contribution is zeroed there (exact: x + 0.0 == x), matching the
+    generic decoder's missing slot.  pair_sw/pair_second: as in _CNEntry
+    but over column offsets, applied to the VN total's left-fold order.
+    """
+
+    __slots__ = ("bi", "shift", "zero_mask", "pair_sw", "pair_second")
+
+    def __init__(self, bi, shift):
+        self.bi, self.shift = bi, shift
+        self.zero_mask = None
+        self.pair_sw = None
+        self.pair_second = False
+
+
+@functools.lru_cache(maxsize=None)
+def qc_slot_plan(qc: QCCode):
+    """Static scan plan: (cn_plan[bi] -> [_CNEntry], vn_plan[bj] ->
+    [_VNEntry]).
+
+    Handles the generalized structures of real standards (multi-edge
+    block pairs and single-edge defects, :class:`..codes.qc.QCCode`)
+    while reducing to the plain single-edge plan when absent.  At most
+    two circulants per (bi, bj) pair are supported.
+    """
+    z = qc.z
+    minus = set(qc.minus_edges)
+
+    vn_plan = []
+    for bj in range(qc.nb):
+        entries = [_VNEntry(bi, s) for bi, s in qc.vn_blocks[bj]]
+        for k, e in enumerate(entries):
+            if k + 1 < len(entries) and entries[k + 1].bi == e.bi:
+                if k + 2 < len(entries) and entries[k + 2].bi == e.bi:
+                    raise NotImplementedError(
+                        ">2 circulants between one block pair"
+                    )
+                s1, s2 = e.shift, entries[k + 1].shift
+                c = np.arange(z)
+                e.pair_sw = ((c - s2) % z) < ((c - s1) % z)
+                entries[k + 1].pair_second = True
+        vn_plan.append(entries)
+
+    for bi, bj, s, r in minus:
+        for e in vn_plan[bj]:
+            if e.bi == bi and e.shift == s:
+                zm = np.zeros(z, bool) if e.zero_mask is None else e.zero_mask
+                zm[(r + s) % z] = True
+                e.zero_mask = zm
+                break
+        else:
+            raise ValueError(f"minus edge {(bi, bj, s, r)} has no circulant")
+
+    cn_plan = []
     for bi in range(qc.mb):
-        row = []
-        for bj, shift in qc.cn_blocks[bi]:
-            s = next(
-                i for i, (b, _) in enumerate(qc.vn_blocks[bj]) if b == bi
+        entries = []
+        for bj, s in qc.cn_blocks[bi]:
+            vslot = next(
+                k for k, (b2, s2) in enumerate(qc.vn_blocks[bj])
+                if b2 == bi and s2 == s
             )
-            row.append((bj, s, shift))
-        table.append(row)
-    return table
+            entries.append(_CNEntry(bj, vslot, s))
+        for k, e in enumerate(entries):
+            if (
+                k + 1 < len(entries)
+                and entries[k + 1].bj == e.bj
+                and not e.pair_second
+            ):
+                s1, s2 = e.shift, entries[k + 1].shift
+                r = np.arange(z)
+                e.pair_sw = ((r + s2) % z) < ((r + s1) % z)
+                entries[k + 1].pair_second = True
+        for mbi, mbj, ms, mr in minus:
+            if mbi != bi:
+                continue
+            for e in entries:
+                if e.bj == mbj and e.shift == ms:
+                    cm = (
+                        np.zeros(z, bool) if e.cn_mask is None else e.cn_mask
+                    )
+                    cm[mr] = True
+                    e.cn_mask = cm
+                    break
+        cn_plan.append(entries)
+    return cn_plan, vn_plan
+
+
+def _swap_scan_views(entries, phys):
+    """Row-wise swapped views in generic scan order (no-op without pairs)."""
+    scan = list(phys)
+    for t, e in enumerate(entries):
+        if e.pair_sw is not None:
+            sw = jnp.asarray(e.pair_sw)[:, None]
+            scan[t] = jnp.where(sw, phys[t + 1], phys[t])
+            scan[t + 1] = jnp.where(sw, phys[t], phys[t + 1])
+    return scan
+
+
+def _unswap_outputs(entries, outs):
+    """Inverse of :func:`_swap_scan_views` on the scan outputs."""
+    phys = list(outs)
+    for t, e in enumerate(entries):
+        if e.pair_sw is not None:
+            sw = jnp.asarray(e.pair_sw)[:, None]
+            phys[t] = jnp.where(sw, outs[t + 1], outs[t])
+            phys[t + 1] = jnp.where(sw, outs[t], outs[t + 1])
+    return phys
+
+
+def _vn_fold(entries, accs):
+    """Left-fold of a VN block's c2v contributions in the generic
+    decoder's within-column slot order (pair swaps preserve the f32
+    grouping), with absent (minus) edges contributing exact zeros."""
+    vals = []
+    for e, sa in zip(entries, accs):
+        if e.zero_mask is not None:
+            sa = jnp.where(
+                jnp.asarray(e.zero_mask)[:, None], jnp.zeros_like(sa), sa
+            )
+        vals.append(sa)
+    acc = None
+    t = 0
+    while t < len(vals):
+        if entries[t].pair_sw is not None:
+            sw = jnp.asarray(entries[t].pair_sw)[:, None]
+            first = jnp.where(sw, vals[t + 1], vals[t])
+            second = jnp.where(sw, vals[t], vals[t + 1])
+            acc = first if acc is None else acc + first
+            acc = acc + second
+            t += 2
+        else:
+            acc = vals[t] if acc is None else acc + vals[t]
+            t += 1
+    return acc
 
 
 def qc_cn_minsum_slots(qc: QCCode, v2c, variant="plain", alpha=1.0, delta=0.0):
@@ -59,18 +219,23 @@ def qc_cn_minsum_slots(qc: QCCode, v2c, variant="plain", alpha=1.0, delta=0.0):
     z = qc.z
     dtype = v2c.dtype
     b = v2c.shape[-1]
-    table = _vn_slot_index(qc)
+    cn_plan, _ = qc_slot_plan(qc)
     inf = jnp.asarray(jnp.inf, dtype)
 
     c2v_slots = [
         [None] * len(qc.vn_blocks[bj]) for bj in range(qc.nb)
     ]
     for bi in range(qc.mb):
-        # CN-row-space views of incoming messages (static rolls)
-        views = [
-            jnp.roll(v2c[bj, s], -shift, axis=0)
-            for (bj, s, shift) in table[bi]
-        ]
+        entries = cn_plan[bi]
+        # CN-row-space views of incoming messages (static rolls); absent
+        # (minus) edges read the scan-neutral +inf
+        phys = []
+        for e in entries:
+            msg = jnp.roll(v2c[e.bj, e.vslot], -e.shift, axis=0)
+            if e.cn_mask is not None:
+                msg = jnp.where(jnp.asarray(e.cn_mask)[:, None], inf, msg)
+            phys.append(msg)
+        views = _swap_scan_views(entries, phys)
         min1 = jnp.full((z, b), inf, dtype)
         min2 = jnp.full((z, b), inf, dtype)
         minidx = jnp.full((z, b), -1, jnp.int32)
@@ -82,6 +247,7 @@ def qc_cn_minsum_slots(qc: QCCode, v2c, variant="plain", alpha=1.0, delta=0.0):
             min2 = jnp.where(is_min, min1, jnp.where(a < min2, a, min2))
             minidx = jnp.where(is_min, t, minidx)
             min1 = jnp.where(is_min, a, min1)
+        outs = []
         for t, msg in enumerate(views):
             mag = jnp.where(minidx == t, min2, min1)
             out = sprod * mag * sgn_pos(msg)
@@ -90,8 +256,10 @@ def qc_cn_minsum_slots(qc: QCCode, v2c, variant="plain", alpha=1.0, delta=0.0):
             elif variant == "offset":
                 m2 = jnp.abs(out) - delta
                 out = jnp.where(m2 > 0, sgn_pos(out) * m2, jnp.zeros_like(out))
-            bj, s, shift = table[bi][t]
-            c2v_slots[bj][s] = jnp.roll(out, shift, axis=0)
+            outs.append(out)
+        outs = _unswap_outputs(entries, outs)
+        for t, e in enumerate(entries):
+            c2v_slots[e.bj][e.vslot] = jnp.roll(outs[t], e.shift, axis=0)
     return c2v_slots
 
 
@@ -113,11 +281,16 @@ def qc_cn_minsum(qc: QCCode, v2c, variant="plain", alpha=1.0, delta=0.0):
 
 def qc_check_satisfied(qc: QCCode, d):
     """d: [Nb, z, B] ±1 -> [B] all-checks-satisfied."""
+    cn_plan, _ = qc_slot_plan(qc)
     ok = None
     for bi in range(qc.mb):
         prod = None
-        for bj, shift in qc.cn_blocks[bi]:
-            v = jnp.roll(d[bj], -shift, axis=0)
+        for e in cn_plan[bi]:
+            v = jnp.roll(d[e.bj], -e.shift, axis=0)
+            if e.cn_mask is not None:  # absent edge: neutral factor
+                v = jnp.where(
+                    jnp.asarray(e.cn_mask)[:, None], jnp.ones_like(v), v
+                )
             prod = v if prod is None else prod * v
         row_ok = jnp.all(prod > 0, axis=0)  # [B]
         ok = row_ok if ok is None else ok & row_ok
@@ -153,18 +326,13 @@ def decode_minsum_qc(
     trade measured at ~1% BER effect for f16 at the 2 dB operating point
     (vs ~60% for doing all arithmetic in bf16).
     """
-    if qc.extra_edges or qc.minus_edges:
-        raise NotImplementedError(
-            "message-passing QC decoders require single-edge defect-free "
-            "blocks (multi-edge/defect codes route to qc_ops bit-flip "
-            "decoders or the generic path)"
-        )
     y_t = jnp.asarray(y).T  # [N, B]
     n, b = y_t.shape
     assert n == qc.n, (n, qc.n)
     yb = y_t.reshape(qc.nb, qc.z, b)
     dv_max = qc.dv_max
     sdt = storage_dtype if storage_dtype is not None else y_t.dtype
+    _, vn_plan = qc_slot_plan(qc)
 
     # initializeSymMessages: all slots start at the channel sample
     v2c0 = jnp.broadcast_to(yb[:, None], (qc.nb, dv_max, qc.z, b)).astype(sdt)
@@ -184,11 +352,8 @@ def decode_minsum_qc(
         totals = []
         planes = []
         for bj in range(qc.nb):
-            acc = None
             accs = [s.astype(y_t.dtype) for s in slots[bj]]
-            for sa in accs:
-                acc = sa if acc is None else acc + sa
-            total = yb[bj] + acc  # [z, B]
+            total = yb[bj] + _vn_fold(vn_plan[bj], accs)  # [z, B]
             totals.append(total)
             pl = [storage_cast(total - sa, sdt) for sa in accs]
             pl += [zero] * (dv_max - len(pl))

@@ -197,6 +197,26 @@ def main(argv: Optional[List[str]] = None) -> int:
                 sc_real.n, 1723, step, frames, 10,
             )
 
+    # min-sum on the REAL DVB-S2 rate-1/2 H (64800,32400) through the
+    # generalized-QC roll path (multi-edge pairs + accumulator defect,
+    # codes/standards.py; masks from decoders/minsum_qc.qc_slot_plan)
+    from ..codes.standards import dvbs2_rate12_qc as _dvb_qc
+
+    dvb = _dvb_qc().qc
+    n_circ = sum(len(bl) for bl in dvb.vn_blocks)
+    e_dvb = n_circ * dvb.z - len(dvb.minus_edges)
+    sigma_d = float(snr_to_sigma(1.2, 0.5))
+    step, frames = mega(2048, 2, lambda k, b: jnp.sum(
+        decode_minsum_qc(
+            dvb, awgn(k, jnp.ones((b, dvb.n), jnp.float32), sigma_d),
+            10, storage_dtype=jnp.float16,
+        ).hard != 1))
+    record(
+        "min-sum T=10, REAL DVB-S2 (64800,32400), generalized-QC rolls",
+        dvb.n, 32400, step, frames, 10,
+        bytes_per_frame_iter=msg_bytes(e_dvb, dvb.n, storage=2),
+    )
+
     # BP QC, early termination, T=30
     step, frames = mega(8192, 4, lambda k, b: jnp.sum(
         decode_bp_qc(

@@ -676,13 +676,24 @@ def test_gdbf_family_matches_reference(case, ref_gdbf_family, tmp_path):
     alist_path = require_reference(PEG_ALIST)
     code = build_code(load_alist(alist_path))
     log = str(tmp_path / f"{name}.log")
-    subprocess.run(
-        [ref_gdbf_family[name], alist_path, "0.5", str(snr), str(T),
-         str(theta), log, *extra_argv],
-        check=True, capture_output=True, timeout=600,
-    )
-    row = open(log).read().strip().splitlines()[-1].split("\t")
-    ref_ber, ref_iters = float(row[1]), float(row[2])
+    # the binaries are time-seeded and stop at ~200 bit errors; a single
+    # run's BER spreads >2x on the noisier operating points (MNGDBF
+    # measured 1.1e-3..2.4e-3 across seeds) with fat tails from frame-
+    # error clustering — use the MEDIAN of 5 runs (outlier-resistant)
+    import time as _time
+
+    bers, iters = [], []
+    for _rep in range(5):
+        subprocess.run(
+            [ref_gdbf_family[name], alist_path, "0.5", str(snr), str(T),
+             str(theta), log, *extra_argv],
+            check=True, capture_output=True, timeout=600,
+        )
+        row = open(log).read().strip().splitlines()[-1].split("\t")
+        bers.append(float(row[1]))
+        iters.append(float(row[2]))
+        _time.sleep(1.1)
+    ref_ber, ref_iters = float(np.median(bers)), float(np.median(iters))
 
     cfg = preset(name, num_iterations=T, theta=theta, **kw)
     sigma = float(snr_to_sigma(snr, 0.5))

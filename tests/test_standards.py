@@ -161,13 +161,63 @@ def test_dvbs2_qc_ops_bit_exact():
     np.testing.assert_array_equal(ss_qc, ss_gen)
 
 
-def test_messaging_qc_decoders_reject_generalized():
+def test_generalized_qc_message_decoders_bit_exact():
+    """Multi-edge pairs + a minus edge through the message-passing QC
+    decoders: bit-exact vs the generic slot-array decoders on the same
+    expanded H (per-row swap masks preserve the generic scan/fold order;
+    absent edges read the +inf neutral)."""
     import jax.numpy as jnp
-    import pytest as _pytest
+
+    from ldpcsimulation_tpu.codes.qc import build_qc_code_edges
+    from ldpcsimulation_tpu.decoders.bp import decode_bp
+    from ldpcsimulation_tpu.decoders.bp_qc import decode_bp_qc
+    from ldpcsimulation_tpu.decoders.minsum import decode_minsum
+    from ldpcsimulation_tpu.decoders.minsum_qc import decode_minsum_qc
+
+    z = 5
+    edges = [(0, 0, 1), (0, 0, 3), (0, 1, 0), (0, 2, 2),
+             (1, 0, 2), (1, 1, 2), (1, 2, 4)]
+    qc = build_qc_code_edges(edges, z, 2, 3, minus_edges=((1, 2, 4, 1),))
+    assert qc.extra_edges and qc.minus_edges
+    code = build_code(qc.to_alist())
+    rng = np.random.default_rng(0)
+    y = jnp.asarray(rng.normal(size=(64, qc.n)).astype(np.float32))
+
+    for T in (1, 3, 7):
+        a = decode_minsum_qc(qc, y, T, early_termination=True)
+        b = decode_minsum(code, y, T, early_termination=True)
+        np.testing.assert_array_equal(np.asarray(a.hard), np.asarray(b.hard))
+        np.testing.assert_array_equal(
+            np.asarray(a.iterations), np.asarray(b.iterations)
+        )
+        a = decode_bp_qc(qc, y, T)
+        b = decode_bp(code, y, T)
+        np.testing.assert_array_equal(np.asarray(a.hard), np.asarray(b.hard))
+    for var, kw in (
+        ("normalized", dict(alpha=1.25)),
+        ("offset", dict(delta=0.15)),
+    ):
+        a = decode_minsum_qc(qc, y, 4, variant=var, **kw)
+        b = decode_minsum(code, y, 4, variant=var, **kw)
+        np.testing.assert_array_equal(np.asarray(a.hard), np.asarray(b.hard))
+
+
+def test_dvbs2_message_qc_bit_exact_spot():
+    """The REAL DVB-S2 structure through decode_minsum_qc matches the
+    generic decoder bit-exactly (tiny batch/T: the full structure compiles
+    slowly on CPU; throughput rows live in docs/PERF.md)."""
+    import jax.numpy as jnp
 
     from ldpcsimulation_tpu.codes.standards import dvbs2_rate12_qc
+    from ldpcsimulation_tpu.decoders.minsum import decode_minsum
     from ldpcsimulation_tpu.decoders.minsum_qc import decode_minsum_qc
 
     qc = dvbs2_rate12_qc().qc
-    with _pytest.raises(NotImplementedError):
-        decode_minsum_qc(qc, jnp.ones((1, qc.n), jnp.float32), 2)
+    code = build_code(qc.to_alist())
+    rng = np.random.default_rng(1)
+    y = jnp.asarray(
+        rng.normal(loc=1.0, scale=0.8, size=(2, qc.n)).astype(np.float32)
+    )
+    a = decode_minsum_qc(qc, y, 2)
+    b = decode_minsum(code, y, 2)
+    np.testing.assert_array_equal(np.asarray(a.hard), np.asarray(b.hard))
