@@ -22,6 +22,18 @@ Semantics (standard row-layered min-sum):
     ``q > 0 ? +1 : −1`` matching decodeMinSum.cpp:470-474.
 
 Normalized/offset variants apply to L_new exactly as in flooding.
+
+Generalized QC structures (:class:`..codes.qc.QCCode`): a layer's z
+checks touch each variable of a single-edge block exactly once, so the
+posterior writes are conflict-free; a multi-edge PAIR touches every
+column of its block twice within the layer.  Those blocks use the
+block-parallel layered rule — all z checks of the layer read the same
+pre-layer posterior and their updates accumulate,
+``q' = (a1 − q) + a2`` with ``a_t = roll(qext_t + out_t)`` — which is
+what pipelined QC layered hardware does.  Minus edges (absent from a
+single-edge circulant, e.g. DVB-S2's accumulator corner) are excluded
+from the scan via the +inf neutral and leave their column's posterior
+and stored message untouched.
 """
 
 from __future__ import annotations
@@ -33,7 +45,7 @@ import jax.numpy as jnp
 
 from ..codes.qc import QCCode
 from .base import DecodeResult, run_flooding, sgn_pos, storage_cast
-from .minsum_qc import qc_check_satisfied
+from .minsum_qc import qc_check_satisfied, qc_slot_plan
 
 __all__ = ["decode_minsum_layered_qc"]
 
@@ -59,12 +71,6 @@ def decode_minsum_layered_qc(
     storage_dtype=None,
 ) -> DecodeResult:
     """Batched row-layered min-sum on a QC code.  y: [B, N]."""
-    if qc.extra_edges or qc.minus_edges:
-        raise NotImplementedError(
-            "message-passing QC decoders require single-edge defect-free "
-            "blocks (multi-edge/defect codes route to qc_ops bit-flip "
-            "decoders or the generic path)"
-        )
     y_t = jnp.asarray(y).T
     n, b = y_t.shape
     assert n == qc.n
@@ -76,16 +82,26 @@ def decode_minsum_layered_qc(
     # stored check messages, CN-row space: [Mb, dc_max, z, B]
     l0 = jnp.zeros((qc.mb, dc_max, z, b), sdt)
     inf = jnp.asarray(jnp.inf, dtype)
+    cn_plan, _ = qc_slot_plan(qc)
+    for row in cn_plan:
+        for e in row:
+            if e.cn_mask is not None and (e.pair_sw is not None
+                                          or e.pair_second):
+                raise NotImplementedError("minus edge inside a pair block")
 
     def one_iteration(q, L):
         for bi in range(qc.mb):
-            blocks = qc.cn_blocks[bi]
-            dc = len(blocks)
-            # extrinsic inputs in CN-row space
+            entries = cn_plan[bi]
+            dc = len(entries)
+            # extrinsic inputs in CN-row space; absent edges read the
+            # scan-neutral +inf
             qext = []
-            for t, (bj, shift) in enumerate(blocks):
-                qv = jnp.roll(q[bj], -shift, axis=0)
-                qext.append(qv - L[bi, t].astype(dtype))
+            for t, e in enumerate(entries):
+                qv = jnp.roll(q[e.bj], -e.shift, axis=0)
+                qe = qv - L[bi, t].astype(dtype)
+                if e.cn_mask is not None:
+                    qe = jnp.where(jnp.asarray(e.cn_mask)[:, None], inf, qe)
+                qext.append(qe)
             # two-min scan, <= tie-break (decodeMinSum.cpp:410-450)
             min1 = jnp.full((z, b), inf, dtype)
             min2 = jnp.full((z, b), inf, dtype)
@@ -99,7 +115,8 @@ def decode_minsum_layered_qc(
                 minidx = jnp.where(is_min, t, minidx)
                 min1 = jnp.where(is_min, a, min1)
             new_rows = []
-            for t, (bj, shift) in enumerate(blocks):
+            posts = []  # per-entry VN-layout posterior term a_t
+            for t, e in enumerate(entries):
                 mag = jnp.where(minidx == t, min2, min1)
                 out = sprod * mag * sgn_pos(qext[t])
                 if variant == "normalized":
@@ -109,9 +126,32 @@ def decode_minsum_layered_qc(
                     out = jnp.where(
                         m2 > 0, sgn_pos(out) * m2, jnp.zeros_like(out)
                     )
-                # immediate posterior update (the layered property)
-                q = q.at[bj].set(jnp.roll(qext[t] + out, shift, axis=0))
+                if e.cn_mask is not None:
+                    # absent edge: no stored message, column untouched
+                    cm = jnp.asarray(e.cn_mask)[:, None]
+                    out = jnp.where(cm, jnp.zeros_like(out), out)
+                    a_t = jnp.roll(
+                        jnp.where(cm, jnp.roll(q[e.bj], -e.shift, axis=0),
+                                  qext[t] + out),
+                        e.shift, axis=0,
+                    )
+                else:
+                    a_t = jnp.roll(qext[t] + out, e.shift, axis=0)
+                posts.append(a_t)
                 new_rows.append(storage_cast(out, sdt))
+            t = 0
+            while t < dc:
+                e = entries[t]
+                if t + 1 < dc and entries[t + 1].pair_second:
+                    # pair block: block-parallel accumulate (see module
+                    # docstring); grouping (a1 - q) + a2 fixed for the
+                    # oracle equivalence
+                    q = q.at[e.bj].set((posts[t] - q[e.bj]) + posts[t + 1])
+                    t += 2
+                else:
+                    # single edge: conflict-free immediate update
+                    q = q.at[e.bj].set(posts[t])
+                    t += 1
             pad = [jnp.zeros((z, b), sdt)] * (dc_max - dc)
             L = L.at[bi].set(jnp.stack(new_rows + pad))
         return q, L

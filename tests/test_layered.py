@@ -12,8 +12,14 @@ from ldpcsimulation_tpu.decoders.minsum_qc import decode_minsum_qc
 
 
 def layered_oracle(qc: QCCode, y, T, variant="plain", alpha=1.0, delta=0.0):
-    """Straightforward per-edge NumPy implementation of the layered spec."""
+    """Straightforward per-edge NumPy implementation of the layered spec.
+
+    Two-phase per layer (scan all rows from the pre-layer posterior, then
+    apply the updates) — identical to sequential row order for single-edge
+    blocks, and the defined block-parallel semantics for multi-edge pairs
+    and minus edges (see decoders/minsum_layered.py docstring)."""
     z = qc.z
+    minus = set(qc.minus_edges)
     q = np.array(y, np.float64).reshape(qc.nb, z)
     L = {}  # (bi, t) -> [z]
     for bi in range(qc.mb):
@@ -22,32 +28,66 @@ def layered_oracle(qc: QCCode, y, T, variant="plain", alpha=1.0, delta=0.0):
     for _ in range(T):
         for bi in range(qc.mb):
             blocks = qc.cn_blocks[bi]
-            for r in range(z):  # each check row independently
-                qext = []
-                for t, (bj, shift) in enumerate(blocks):
-                    rc = (r + shift) % z
-                    qext.append(q[bj, rc] - L[(bi, t)][r])
+            dc = len(blocks)
+            qext = np.zeros((dc, z))
+            outs = np.zeros((dc, z))
+            absent = np.zeros((dc, z), bool)
+            for r in range(z):  # phase 1: scans from pre-layer posterior
+                for t, (bj, s) in enumerate(blocks):
+                    if (bi, bj, s, r) in minus:
+                        qext[t, r] = np.inf
+                        absent[t, r] = True
+                    else:
+                        qext[t, r] = q[bj, (r + s) % z] - L[(bi, t)][r]
                 min1 = min2 = np.inf
                 minidx = -1
                 sprod = 1.0
-                for t, v in enumerate(qext):
+                for t in range(dc):
+                    v = qext[t, r]
                     a = abs(v)
                     sprod *= 1.0 if v >= 0 else -1.0
                     if a <= min1:
                         min2, min1, minidx = min1, a, t
                     elif a < min2:
                         min2 = a
-                for t, (bj, shift) in enumerate(blocks):
+                for t in range(dc):
                     mag = min2 if t == minidx else min1
-                    out = sprod * mag * (1.0 if qext[t] >= 0 else -1.0)
+                    out = sprod * mag * (1.0 if qext[t, r] >= 0 else -1.0)
                     if variant == "normalized":
                         out = out / alpha
                     elif variant == "offset":
                         m2 = abs(out) - delta
-                        out = (1.0 if out >= 0 else -1.0) * m2 if m2 > 0 else 0.0
-                    rc = (r + shift) % z
-                    q[bj, rc] = qext[t] + out
-                    L[(bi, t)][r] = out
+                        out = (
+                            (1.0 if out >= 0 else -1.0) * m2 if m2 > 0 else 0.0
+                        )
+                    outs[t, r] = 0.0 if absent[t, r] else out
+            t = 0
+            while t < dc:  # phase 2: apply posteriors
+                bj, s = blocks[t]
+                a_t = np.empty(z)
+                for r in range(z):
+                    c = (r + s) % z
+                    a_t[c] = (
+                        q[bj, c] if absent[t, r] else qext[t, r] + outs[t, r]
+                    )
+                if t + 1 < dc and blocks[t + 1][0] == bj:
+                    s2 = blocks[t + 1][1]
+                    a_2 = np.empty(z)
+                    for r in range(z):
+                        c = (r + s2) % z
+                        a_2[c] = (
+                            q[bj, c]
+                            if absent[t + 1, r]
+                            else qext[t + 1, r] + outs[t + 1, r]
+                        )
+                    q[bj] = (a_t - q[bj]) + a_2
+                    L[(bi, t + 1)] = outs[t + 1].copy()
+                    t_step = 2
+                else:
+                    q[bj] = a_t
+                    t_step = 1
+                L[(bi, t)] = outs[t].copy()
+                t += t_step
     d = np.where(q.reshape(-1) > 0, 1, -1)
     return d
 
@@ -216,3 +256,32 @@ def test_bp_layered_not_worse_than_flooding_at_scale():
     assert (np.asarray(la.hard) != 1).mean() <= (
         np.asarray(fl.hard) != 1
     ).mean() + 1e-4
+
+
+def test_layered_generalized_qc_matches_oracle():
+    """Multi-edge pair + minus edge through the layered schedule: the
+    vectorized decoder matches the two-phase NumPy oracle frame by frame."""
+    from ldpcsimulation_tpu.codes.qc import build_qc_code_edges
+
+    z = 5
+    edges = [(0, 0, 1), (0, 0, 3), (0, 1, 0), (0, 2, 2),
+             (1, 0, 2), (1, 1, 2), (1, 2, 4)]
+    qc = build_qc_code_edges(edges, z, 2, 3, minus_edges=((1, 2, 4, 1),))
+    rng = np.random.default_rng(7)
+    y = rng.normal(size=(16, qc.n)).astype(np.float32)
+    res = decode_minsum_layered_qc(qc, jnp.asarray(y), 4)
+    hard = np.asarray(res.hard)
+    for f in range(y.shape[0]):
+        d_ref = layered_oracle(qc, y[f], 4)
+        np.testing.assert_array_equal(hard[f], d_ref, err_msg=f"frame {f}")
+
+
+def test_layered_generalized_rejects_defect_in_pair():
+    from ldpcsimulation_tpu.codes.qc import build_qc_code_edges
+
+    qc = build_qc_code_edges(
+        [(0, 0, 1), (0, 0, 3), (0, 1, 0), (1, 1, 2), (1, 0, 0)],
+        5, 2, 2, minus_edges=((0, 0, 3, 2),),
+    )
+    with pytest.raises(NotImplementedError):
+        decode_minsum_layered_qc(qc, jnp.ones((1, qc.n), jnp.float32), 2)

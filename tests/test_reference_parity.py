@@ -78,6 +78,26 @@ def _run_ref(binary, alist, rate, snr, iters, log, repeats=3):
     return dict(ber=float(np.mean(bers)), fer=float(row[3]))
 
 
+def _ref_median(argv, log, repeats=3, timeout=900):
+    """Median BER/avg-iters over several time-seeded reference runs.
+
+    The GDBF-family binaries seed from time(0) and stop at ~200 bit
+    errors; single-run BER has fat tails from frame-error clustering
+    (measured >2x spread on noisy operating points), so single-run parity
+    assertions flake.  The median is outlier-resistant."""
+    import time as _time
+
+    bers, iters = [], []
+    for _rep in range(repeats):
+        subprocess.run(argv, check=True, capture_output=True,
+                       timeout=timeout)
+        row = open(log).read().strip().splitlines()[-1].split("\t")
+        bers.append(float(row[1]))
+        iters.append(float(row[2]))
+        _time.sleep(1.1)
+    return float(np.median(bers)), float(np.median(iters))
+
+
 def _assert_close_ber(ours: float, ref: float, factor: float):
     assert ref > 0 and ours > 0
     ratio = ours / ref
@@ -178,14 +198,11 @@ def test_smngdbf_ber_matches_reference(ref_smngdbf, tmp_path):
     snr, T = 3.5, 300
     theta, nscale, lam, alpha, window, ymax = -0.9, 0.975, 0.988, 0.75, 64, 2.5
     log = str(tmp_path / "sm.log")
-    subprocess.run(
-        [ref_smngdbf, alist_path, "0.5", str(snr), str(T), str(theta), log,
-         str(nscale), str(lam), str(alpha), str(window), str(ymax)],
-        check=True, capture_output=True, timeout=900,
-    )
     # GDBF row: SNR BER avgIters WER totalBits totalWords T theta ...
-    row = open(log).read().strip().splitlines()[-1].split("\t")
-    ref_ber, ref_iters = float(row[1]), float(row[2])
+    ref_ber, ref_iters = _ref_median(
+        [ref_smngdbf, alist_path, "0.5", str(snr), str(T), str(theta), log,
+         str(nscale), str(lam), str(alpha), str(window), str(ymax)], log,
+    )
 
     cfg = preset(
         "SMNGDBF", num_iterations=T, theta=theta, noise_scale=nscale,
@@ -734,17 +751,27 @@ def test_rsmngdbf_matches_reference(ref_gdbf_family, tmp_path):
     code = build_code(load_alist(alist_path))
     snr, T, theta = 3.25, 100, -0.9
     log = str(tmp_path / "rs.log")
-    subprocess.run(
-        [ref_gdbf_family["RSMNGDBF"], alist_path, "0.5", str(snr), str(T),
-         str(theta), log, "0.975", "0.988", "0.75", "64", "2.5", "4"],
-        check=True, capture_output=True, timeout=600,
-    )
     # GDBF row with redecode: ... alpha, smoothingUsed, smoothingUsed/words,
     # windowsize, Ymax, maxphase, alist (decodeGDBF.cpp:430-450 family; the
-    # per-PHASE smoothingUsed makes the ratio exceed 1)
-    row = open(log).read().strip().splitlines()[-1].split("\t")
+    # per-PHASE smoothingUsed makes the ratio exceed 1).  Median of 3
+    # time-seeded runs per _ref_median's rationale.
+    import time as _time
+
+    _b, _i, _s = [], [], []
+    for _rep in range(3):
+        subprocess.run(
+            [ref_gdbf_family["RSMNGDBF"], alist_path, "0.5", str(snr),
+             str(T), str(theta), log, "0.975", "0.988", "0.75", "64",
+             "2.5", "4"],
+            check=True, capture_output=True, timeout=600,
+        )
+        row = open(log).read().strip().splitlines()[-1].split("\t")
+        _b.append(float(row[1]))
+        _i.append(float(row[2]))
+        _s.append(float(row[12]))
+        _time.sleep(1.1)
     ref_ber, ref_iters, ref_smooth_ratio = (
-        float(row[1]), float(row[2]), float(row[12])
+        float(np.median(_b)), float(np.median(_i)), float(np.median(_s))
     )
 
     cfg = preset(
@@ -879,13 +906,10 @@ def test_smngdbf_4376_highrate_matches_reference(ref_smngdbf, tmp_path):
     assert code.n == 4376 and code.m == 282
     snr, T, theta, alpha = 5.5, 300, -0.7, 0.47
     log = str(tmp_path / "hr.log")
-    subprocess.run(
+    ref_ber, ref_iters = _ref_median(
         [ref_smngdbf, alist_path, "0.9356", str(snr), str(T), str(theta),
-         log, "0.65", "0.993", str(alpha), "64", "2.5"],
-        check=True, capture_output=True, timeout=900,
+         log, "0.65", "0.993", str(alpha), "64", "2.5"], log,
     )
-    row = open(log).read().strip().splitlines()[-1].split("\t")
-    ref_ber, ref_iters = float(row[1]), float(row[2])
 
     cfg = preset(
         "SMNGDBF", num_iterations=T, theta=theta, noise_scale=0.65,
@@ -998,3 +1022,59 @@ def test_systemc_ldpcsim_matches_reference(ref_ldpcsim, tmp_path):
     assert 0.80 < stats.avg_iterations / ref_iters < 1.15, (
         stats.avg_iterations, ref_iters,
     )
+
+
+def test_smngdbf_dvbs2_matches_reference(ref_smngdbf, tmp_path):
+    """SM-NGDBF on the REAL DVB-S2 rate-1/2 (64800, 32400) H.
+
+    The example script's alpha=2.5 diverges on the reference binary itself
+    (measured BER 0.115 at 3.4 dB — the stale-alpha artifact of the old
+    w=alpha*Ymax/dv semantics, as for PEG/4376); alpha=1.2 works on both
+    sides (full waterfall cross-run at 3.4 dB/T=700 in docs/CONFIGS.md:
+    BER ratio 0.87, iters ratio 0.98).  For the suite, compare the
+    partial-decode trajectory at 3.2 dB/T=150 (FER=1 regime): the BER
+    after 150 iterations is a sensitive functional of the full update
+    semantics (weights, adaptation, smoothing, saturation) and both
+    estimators are low-variance there (every frame contributes ~1.3k bit
+    errors).  Our side decodes the standards.py generalized-QC structure
+    (z=360 rolls) — the same graph up to row/column relabeling."""
+    from ldpcsimulation_tpu.channel import saturate, snr_to_sigma
+    from ldpcsimulation_tpu.codes.standards import dvbs2_rate12_qc
+    from ldpcsimulation_tpu.decoders.gdbf import decode_gdbf, preset
+
+    alist_path = require_reference(
+        "C_implementations/codes/dvbs2_1_2/dvbs2_1_2.alist"
+    )
+    snr, T, theta, alpha = 3.2, 150, -1.1, 1.2
+    import time as _time
+
+    bers = []
+    log = str(tmp_path / "dvb.log")
+    for _rep in range(3):
+        subprocess.run(
+            [ref_smngdbf, alist_path, "0.5", str(snr), str(T), str(theta),
+             log, "0.775", "0.987", str(alpha), "64", "2.5"],
+            check=True, capture_output=True, timeout=600,
+        )
+        row = open(log).read().strip().splitlines()[-1].split("\t")
+        bers.append(float(row[1]))
+        assert float(row[3]) == 1.0  # FER=1 partial-decode regime
+        _time.sleep(1.1)
+    ref_ber = float(np.median(bers))
+
+    det = dvbs2_rate12_qc()
+    qc = det.qc
+    code = build_code(qc.to_alist())
+    cfg = preset(
+        "SMNGDBF", num_iterations=T, theta=theta, noise_scale=0.775,
+        lam=0.987, alpha=alpha, window_size=64,
+    )
+    sigma = float(snr_to_sigma(snr, 0.5))
+    stats = simulate(
+        code,
+        lambda y, key: decode_gdbf(code, y, sigma, cfg, key=key, qc=qc),
+        snr_db=snr, rate=0.5, stop=StopRule.fixed_frames(16),
+        batch_size=16, preprocess=lambda y: saturate(y, 2.5), seed=17,
+    )
+    assert stats.fer == 1.0
+    _assert_close_ber(stats.ber, ref_ber, factor=1.25)
