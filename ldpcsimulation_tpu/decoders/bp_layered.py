@@ -25,7 +25,7 @@ import jax.numpy as jnp
 from ..codes.qc import QCCode
 from .base import DecodeResult, run_flooding, sgn_pos
 from .bp import MAXLLR, _phi
-from .minsum_qc import _vn_slot_index, qc_check_satisfied
+from .minsum_qc import qc_check_satisfied, qc_slot_plan
 
 __all__ = ["decode_bp_layered_qc"]
 
@@ -41,13 +41,12 @@ def decode_bp_layered_qc(
     max_llr: float = MAXLLR,
     early_termination: bool = False,
 ) -> DecodeResult:
-    """Batched row-layered sum-product on a QC code.  llr: [B, N]."""
-    if qc.extra_edges or qc.minus_edges:
-        raise NotImplementedError(
-            "message-passing QC decoders require single-edge defect-free "
-            "blocks (multi-edge/defect codes route to qc_ops bit-flip "
-            "decoders or the generic path)"
-        )
+    """Batched row-layered sum-product on a QC code.  llr: [B, N].
+
+    Generalized QC structures follow minsum_layered's rules: minus edges
+    contribute the phi-neutral (+inf in, magnitude 0 / sign +1) and leave
+    their column untouched; multi-edge pairs use the block-parallel
+    accumulate ``(a1 - q) + a2``."""
     llr_t = jnp.asarray(llr).T
     n, b = llr_t.shape
     assert n == qc.n
@@ -56,18 +55,30 @@ def decode_bp_layered_qc(
     q0 = llr_t.reshape(qc.nb, z, b)
     dc_max = qc.dc_max
     l0 = jnp.zeros((qc.mb, dc_max, z, b), dtype)
+    inf = jnp.asarray(jnp.inf, dtype)
+    cn_plan, _ = qc_slot_plan(qc)
+    for row in cn_plan:
+        for e in row:
+            if e.cn_mask is not None and (e.pair_sw is not None
+                                          or e.pair_second):
+                raise NotImplementedError("minus edge inside a pair block")
 
     def one_iteration(q, L):
         for bi in range(qc.mb):
-            blocks = qc.cn_blocks[bi]
-            dc = len(blocks)
+            entries = cn_plan[bi]
+            dc = len(entries)
             qext = []
             qin = []
-            for t, (bj, shift) in enumerate(blocks):
-                qv = jnp.roll(q[bj], -shift, axis=0)
+            for t, e in enumerate(entries):
+                qv = jnp.roll(q[e.bj], -e.shift, axis=0)
                 ext = qv - L[bi, t]
                 qext.append(ext)
-                qin.append(jnp.clip(ext, -max_llr, max_llr))
+                ci = jnp.clip(ext, -max_llr, max_llr)
+                if e.cn_mask is not None:
+                    # mask AFTER the clip: phi(+inf) is exactly 0 and
+                    # sgn +1 — the true fold neutral
+                    ci = jnp.where(jnp.asarray(e.cn_mask)[:, None], inf, ci)
+                qin.append(ci)
             mags = [_phi(jnp.abs(v)) for v in qin]
             signs = [sgn_pos(v) for v in qin]
             zeros = jnp.zeros((z, b), dtype)
@@ -83,10 +94,30 @@ def decode_bp_layered_qc(
             suf_m.reverse()
             suf_s.reverse()
             new_rows = []
-            for t, (bj, shift) in enumerate(blocks):
+            posts = []
+            for t, e in enumerate(entries):
                 out = (pre_s[t] * suf_s[t]) * _phi(pre_m[t] + suf_m[t])
-                q = q.at[bj].set(jnp.roll(qext[t] + out, shift, axis=0))
+                if e.cn_mask is not None:
+                    cm = jnp.asarray(e.cn_mask)[:, None]
+                    out = jnp.where(cm, jnp.zeros_like(out), out)
+                    a_t = jnp.roll(
+                        jnp.where(cm, jnp.roll(q[e.bj], -e.shift, axis=0),
+                                  qext[t] + out),
+                        e.shift, axis=0,
+                    )
+                else:
+                    a_t = jnp.roll(qext[t] + out, e.shift, axis=0)
+                posts.append(a_t)
                 new_rows.append(out)
+            t = 0
+            while t < dc:
+                e = entries[t]
+                if t + 1 < dc and entries[t + 1].pair_second:
+                    q = q.at[e.bj].set((posts[t] - q[e.bj]) + posts[t + 1])
+                    t += 2
+                else:
+                    q = q.at[e.bj].set(posts[t])
+                    t += 1
             pad = [jnp.zeros((z, b), dtype)] * (dc_max - dc)
             L = L.at[bi].set(jnp.stack(new_rows + pad))
         return q, L

@@ -167,10 +167,16 @@ def test_layered_on_wifi_like():
 
 
 def bp_layered_oracle(qc, llr, T, max_llr=20.0):
-    """Per-edge NumPy implementation of the layered BP spec (tanh form)."""
+    """Per-edge NumPy implementation of the layered BP spec (tanh form).
+
+    Two-phase per layer, like :func:`layered_oracle`: scans read the
+    pre-layer posterior, updates apply afterwards — identical to
+    sequential row order for single-edge blocks, the block-parallel rule
+    for pairs, and minus edges are product-excluded and column-neutral."""
     import math
 
     z = qc.z
+    minus = set(qc.minus_edges)
     q = np.array(llr, np.float64).reshape(qc.nb, z)
     L = {
         (bi, t): np.zeros(z)
@@ -180,24 +186,54 @@ def bp_layered_oracle(qc, llr, T, max_llr=20.0):
     for _ in range(T):
         for bi in range(qc.mb):
             blocks = qc.cn_blocks[bi]
+            dc = len(blocks)
+            qext = np.zeros((dc, z))
+            outs = np.zeros((dc, z))
+            absent = np.zeros((dc, z), bool)
             for r in range(z):
-                qext = []
                 qin = []
-                for t, (bj, shift) in enumerate(blocks):
-                    rc = (r + shift) % z
-                    v = q[bj, rc] - L[(bi, t)][r]
-                    qext.append(v)
+                for t, (bj, s) in enumerate(blocks):
+                    absent[t, r] = (bi, bj, s, r) in minus
+                    v = q[bj, (r + s) % z] - L[(bi, t)][r]
+                    qext[t, r] = v
                     qin.append(max(-max_llr, min(max_llr, v)))
-                for t, (bj, shift) in enumerate(blocks):
+                for t in range(dc):
+                    if absent[t, r]:
+                        outs[t, r] = 0.0
+                        continue
                     prod = 1.0
                     for t2, v in enumerate(qin):
-                        if t2 != t:
+                        if t2 != t and not absent[t2, r]:
                             prod *= math.tanh(v / 2.0)
                     prod = max(-1 + 1e-15, min(1 - 1e-15, prod))
-                    out = math.log((1 + prod) / (1 - prod))
-                    rc = (r + shift) % z
-                    q[bj, rc] = qext[t] + out
-                    L[(bi, t)][r] = out
+                    outs[t, r] = math.log((1 + prod) / (1 - prod))
+            t = 0
+            while t < dc:
+                bj, s = blocks[t]
+                a_t = np.empty(z)
+                for r in range(z):
+                    c = (r + s) % z
+                    a_t[c] = (
+                        q[bj, c] if absent[t, r] else qext[t, r] + outs[t, r]
+                    )
+                if t + 1 < dc and blocks[t + 1][0] == bj:
+                    s2 = blocks[t + 1][1]
+                    a_2 = np.empty(z)
+                    for r in range(z):
+                        c = (r + s2) % z
+                        a_2[c] = (
+                            q[bj, c]
+                            if absent[t + 1, r]
+                            else qext[t + 1, r] + outs[t + 1, r]
+                        )
+                    q[bj] = (a_t - q[bj]) + a_2
+                    L[(bi, t + 1)] = outs[t + 1].copy()
+                    t_step = 2
+                else:
+                    q[bj] = a_t
+                    t_step = 1
+                L[(bi, t)] = outs[t].copy()
+                t += t_step
     return np.where(q.reshape(-1) > 0, 1, -1)
 
 
@@ -285,3 +321,20 @@ def test_layered_generalized_rejects_defect_in_pair():
     )
     with pytest.raises(NotImplementedError):
         decode_minsum_layered_qc(qc, jnp.ones((1, qc.n), jnp.float32), 2)
+
+
+def test_bp_layered_generalized_qc_matches_oracle():
+    from ldpcsimulation_tpu.codes.qc import build_qc_code_edges
+    from ldpcsimulation_tpu.decoders.bp_layered import decode_bp_layered_qc
+
+    z = 5
+    edges = [(0, 0, 1), (0, 0, 3), (0, 1, 0), (0, 2, 2),
+             (1, 0, 2), (1, 1, 2), (1, 2, 4)]
+    qc = build_qc_code_edges(edges, z, 2, 3, minus_edges=((1, 2, 4, 1),))
+    rng = np.random.default_rng(9)
+    llr = np.clip(rng.normal(0.5, 2.0, size=(16, qc.n)), -18, 18)
+    res = decode_bp_layered_qc(qc, jnp.asarray(llr), 4)
+    hard = np.asarray(res.hard)
+    for f in range(llr.shape[0]):
+        d_ref = bp_layered_oracle(qc, llr[f], 4)
+        np.testing.assert_array_equal(hard[f], d_ref, err_msg=f"frame {f}")
