@@ -61,6 +61,11 @@ def _gf2m_wht(x):
 
     Diagonalizes XOR-convolution: WHT(a ⊛ b) = WHT(a)·WHT(b) where
     (a ⊛ b)[k] = Σ_{i⊕j=k} a[i]b[j].  Self-inverse up to a factor q.
+
+    A dense ±1 Sylvester-matrix matmul form (``x @ H_q``, MXU) was
+    measured SLOWER on the v5e (62 vs 36 ms on the GF(64) PERF row): at
+    HIGHEST precision the f32 K=64 matmul underutilizes the MXU, and XLA
+    fuses the butterfly stages well.  Keep the butterflies.
     """
     q = x.shape[-1]
     m = q.bit_length() - 1
