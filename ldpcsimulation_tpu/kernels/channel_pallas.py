@@ -26,7 +26,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["awgn_all_zero_pallas"]
+__all__ = ["awgn_all_zero_pallas", "awgn_all_zero_hybrid",
+           "uniform_pallas"]
 
 
 def _kernel(seed_ref, o_ref, *, sigma: float):
@@ -71,3 +72,58 @@ def awgn_all_zero_pallas(
             ),
         ),
     )(seed_arr)
+
+
+def _uniform_kernel(seed_ref, o_ref):
+    pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+    bits = pltpu.bitcast(pltpu.prng_random_bits(o_ref.shape), jnp.uint32)
+    k = (bits >> 8).astype(jnp.int32)
+    o_ref[:] = (k.astype(jnp.float32) + 0.5) * jnp.float32(2.0 ** -24)
+
+
+@functools.partial(jax.jit, static_argnames=("batch", "n", "tile"))
+def uniform_pallas(seed, batch: int, n: int, tile: int = 256):
+    """[batch, n] uniforms in (0, 1) from the on-core hardware PRNG.
+
+    24-bit mantissa grid (k + 0.5)·2⁻²⁴, seeded per (seed, tile row) —
+    deterministic and replayable at tile granularity, but a different
+    stream than ``jax.random`` (see module docstring).
+    """
+    if batch % tile:
+        raise ValueError(f"batch {batch} not divisible by tile {tile}")
+    seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
+    return pl.pallas_call(
+        _uniform_kernel,
+        out_shape=jax.ShapeDtypeStruct((batch, n), jnp.float32),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(batch // tile,),
+            in_specs=[],
+            out_specs=pl.BlockSpec(
+                (tile, n), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
+            ),
+        ),
+    )(seed_arr)
+
+
+@functools.partial(jax.jit, static_argnames=("batch", "n", "sigma", "tile"))
+def awgn_all_zero_hybrid(seed, batch: int, n: int, sigma: float,
+                         tile: int = 256):
+    """AWGN all-(+1) samples: hardware-PRNG uniforms (Pallas) + XLA-side
+    inverse-CDF Gaussian, y = 1 + σ·√2·erfinv(2u−1).
+
+    MEASURED A DEAD HEAT on v5e (32768×1008 f32, 4 rounds): 31 ms vs
+    33 ms for the XLA threefry channel inside the flagship mega-step.
+    The channel cost is not threefry-specific — XLA uniform, normal,
+    raw-bits, and this hardware-PRNG hybrid all land at 31-33 ms, i.e.
+    sample *generation* on the VPU is the floor regardless of generator.
+    Kept as the reference implementation alongside awgn_all_zero_pallas
+    (the all-in-kernel Box–Muller variant, also measured slower than
+    XLA); the framework's hot path stays on the XLA channel, whose keys
+    line up with the harness's replay coordinates.
+    """
+    u = uniform_pallas(seed, batch, n, tile)
+    nrm = jnp.float32(math.sqrt(2.0)) * jax.scipy.special.erfinv(
+        2.0 * u - 1.0
+    )
+    return 1.0 + jnp.float32(sigma) * nrm

@@ -57,3 +57,20 @@ def test_minsum_cn_scan_pallas_bitexact(rng):
         code.m, code.dc_max, 128
     )
     np.testing.assert_array_equal(out_pl, out_xla)
+
+
+def test_awgn_hybrid_statistics():
+    """Hardware-PRNG uniforms + XLA erfinv Gaussian: correct moments,
+    deterministic per seed (see channel_pallas.awgn_all_zero_hybrid)."""
+    from ldpcsimulation_tpu.kernels.channel_pallas import (
+        awgn_all_zero_hybrid,
+    )
+
+    try:
+        y = np.asarray(awgn_all_zero_hybrid(3, 2048, 256, 0.5))
+    except Exception as e:  # pragma: no cover - platform-dependent support
+        pytest.skip(f"pallas unsupported on this backend: {e}")
+    assert abs(y.mean() - 1.0) < 0.01
+    assert abs(y.std() - 0.5) < 0.01
+    y2 = np.asarray(awgn_all_zero_hybrid(3, 2048, 256, 0.5))
+    np.testing.assert_array_equal(y, y2)
