@@ -45,7 +45,11 @@ import jax.numpy as jnp
 
 from ..codes.qc import QCCode
 from .base import DecodeResult, run_flooding, sgn_pos, storage_cast
-from .minsum_qc import qc_check_satisfied, qc_slot_plan
+from .minsum_qc import (
+    assert_layered_compatible,
+    qc_check_satisfied,
+    qc_slot_plan,
+)
 
 __all__ = ["decode_minsum_layered_qc"]
 
@@ -83,11 +87,7 @@ def decode_minsum_layered_qc(
     l0 = jnp.zeros((qc.mb, dc_max, z, b), sdt)
     inf = jnp.asarray(jnp.inf, dtype)
     cn_plan, _ = qc_slot_plan(qc)
-    for row in cn_plan:
-        for e in row:
-            if e.cn_mask is not None and (e.pair_sw is not None
-                                          or e.pair_second):
-                raise NotImplementedError("minus edge inside a pair block")
+    assert_layered_compatible(qc)
 
     def one_iteration(q, L):
         for bi in range(qc.mb):

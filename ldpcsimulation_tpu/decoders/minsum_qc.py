@@ -33,13 +33,6 @@ __all__ = ["decode_minsum_qc", "qc_check_satisfied", "qc_cn_minsum",
            "qc_cn_minsum_slots", "qc_slot_plan"]
 
 
-def _vn_slot_index(qc: QCCode):
-    """For each (bi, t) CN slot, the (bj, s, shift) of its VN-side slot."""
-    return [
-        [(e.bj, e.vslot, e.shift) for e in row] for row in qc_slot_plan(qc)[0]
-    ]
-
-
 class _CNEntry:
     """One circulant as seen from CN block ``bi`` (static plan data).
 
@@ -151,6 +144,19 @@ def qc_slot_plan(qc: QCCode):
                     break
         cn_plan.append(entries)
     return cn_plan, vn_plan
+
+
+def assert_layered_compatible(qc: QCCode):
+    """The layered decoders handle pairs and defects but not a minus edge
+    INSIDE a pair block (the block-parallel accumulate would need a third
+    posterior term there); raise early with a clear message."""
+    cn_plan, _ = qc_slot_plan(qc)
+    for row in cn_plan:
+        for e in row:
+            if e.cn_mask is not None and (
+                e.pair_sw is not None or e.pair_second
+            ):
+                raise NotImplementedError("minus edge inside a pair block")
 
 
 def _swap_scan_views(entries, phys):

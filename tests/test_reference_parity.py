@@ -693,24 +693,12 @@ def test_gdbf_family_matches_reference(case, ref_gdbf_family, tmp_path):
     alist_path = require_reference(PEG_ALIST)
     code = build_code(load_alist(alist_path))
     log = str(tmp_path / f"{name}.log")
-    # the binaries are time-seeded and stop at ~200 bit errors; a single
-    # run's BER spreads >2x on the noisier operating points (MNGDBF
-    # measured 1.1e-3..2.4e-3 across seeds) with fat tails from frame-
-    # error clustering — use the MEDIAN of 5 runs (outlier-resistant)
-    import time as _time
-
-    bers, iters = [], []
-    for _rep in range(5):
-        subprocess.run(
-            [ref_gdbf_family[name], alist_path, "0.5", str(snr), str(T),
-             str(theta), log, *extra_argv],
-            check=True, capture_output=True, timeout=600,
-        )
-        row = open(log).read().strip().splitlines()[-1].split("\t")
-        bers.append(float(row[1]))
-        iters.append(float(row[2]))
-        _time.sleep(1.1)
-    ref_ber, ref_iters = float(np.median(bers)), float(np.median(iters))
+    # noisy operating points (MNGDBF measured 1.1e-3..2.4e-3 across time
+    # seeds): median of 5 runs, see _ref_median
+    ref_ber, ref_iters = _ref_median(
+        [ref_gdbf_family[name], alist_path, "0.5", str(snr), str(T),
+         str(theta), log, *extra_argv], log, repeats=5, timeout=600,
+    )
 
     cfg = preset(name, num_iterations=T, theta=theta, **kw)
     sigma = float(snr_to_sigma(snr, 0.5))
@@ -949,19 +937,14 @@ def ref_ldpcsim(tmp_path_factory):
     /home/reiss/systemc); native/scsim/systemc.h implements the subset of
     IEEE 1666 the design uses, so the *actual reference program* runs here.
     The vendored sc_vector.h is skipped via its own include guard."""
-    src = require_reference(f"{SC_ROOT}/src")
-    shim = os.path.join(os.path.dirname(__file__), "..", "native", "scsim")
+    require_reference(f"{SC_ROOT}/src")
+    native = os.path.join(os.path.dirname(__file__), "..", "native")
     out = tmp_path_factory.mktemp("scsim") / "ldpcsim.x"
-    import glob as _glob
-
+    # single source of truth for the build recipe: the Makefile target
     try:
         subprocess.run(
-            ["g++", "-O2", "-w", f"-I{shim}",
-             f"-I{os.path.join(REFERENCE_ROOT, SC_ROOT, 'inc')}",
-             "-DSC_VECTOR_H_INCLUDED_",
-             *_glob.glob(f"{src}/*.cpp"),
-             os.path.join(shim, "scsim_main.cpp"),
-             "-o", str(out), "-lm"],
+            ["make", "-C", native, str(out), f"LDPCSIM_OUT={out}",
+             f"REFERENCE={REFERENCE_ROOT}"],
             check=True, capture_output=True, timeout=300,
         )
     except (subprocess.CalledProcessError, FileNotFoundError) as e:
