@@ -217,6 +217,27 @@ def main(argv: Optional[List[str]] = None) -> int:
         bytes_per_frame_iter=msg_bytes(e_dvb, dvb.n, storage=2),
     )
 
+    dvb_code = dvb.to_code()
+    step, frames = mega(1024, 2, lambda k, b: jnp.sum(
+        decode_minsum(
+            dvb_code, awgn(k, jnp.ones((b, dvb.n), jnp.float32), sigma_d),
+            10, storage_dtype=jnp.float16,
+        ).hard != 1))
+    record(
+        "min-sum T=10, REAL DVB-S2 (64800,32400), generic gather f16",
+        dvb.n, 32400, step, frames, 10,
+    )
+
+    step, frames = mega(2048, 2, lambda k, b: jnp.sum(
+        decode_minsum_layered_qc(
+            dvb, awgn(k, jnp.ones((b, dvb.n), jnp.float32), sigma_d),
+            10, storage_dtype=jnp.float16,
+        ).hard != 1))
+    record(
+        "layered min-sum T=10, REAL DVB-S2 (latency-bound: 90 serial "
+        "layers)", dvb.n, 32400, step, frames, 10,
+    )
+
     # BP QC, early termination, T=30
     step, frames = mega(8192, 4, lambda k, b: jnp.sum(
         decode_bp_qc(
