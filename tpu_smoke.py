@@ -55,6 +55,15 @@ def main() -> int:
     ys = jax.random.normal(jax.random.key(5), (64, 96)) + 1.0
     qc = qc_peg(12, 6, 3, z=8, seed=3)
     qcode = qc.to_code()
+    # generalized QC: multi-edge pair + minus edge (DVB-S2 structure class)
+    from ldpcsimulation_tpu.codes.qc import build_qc_code_edges
+
+    gqc = build_qc_code_edges(
+        [(0, 0, 1), (0, 0, 3), (0, 1, 0), (0, 2, 2),
+         (1, 0, 2), (1, 1, 2), (1, 2, 4)],
+        5, 2, 3, minus_edges=((1, 2, 4, 1),),
+    )
+    yg = jax.random.normal(jax.random.key(9), (64, gqc.n), jnp.float32) + 1.0
     nb = build_code(nb_regular(24, 12, 3, q=8, seed=1))
     key = jax.random.key(0)
     y = jax.random.normal(key, (64, 96), jnp.float32) + 1.0
@@ -81,6 +90,12 @@ def main() -> int:
             qc, yq, 5, storage_dtype=jnp.float16).hard),
         ("bp_qc", lambda: decode_bp_qc(
             qc, llr_from_channel(yq, n0), 5).hard),
+        ("minsum_qc generalized", lambda: decode_minsum_qc(
+            gqc, yg, 5, early_termination=True).hard),
+        ("bp_qc generalized", lambda: decode_bp_qc(
+            gqc, llr_from_channel(yg, n0), 5).hard),
+        ("minsum layered generalized", lambda: decode_minsum_layered_qc(
+            gqc, yg, 5).hard),
         ("minsum layered", lambda: decode_minsum_layered_qc(
             qc, yq, 5).hard),
         ("bp layered", lambda: decode_bp_layered_qc(
