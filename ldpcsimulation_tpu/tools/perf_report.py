@@ -273,7 +273,11 @@ def main(argv: Optional[List[str]] = None) -> int:
     record("SM-NGDBF T<=100 @3.25dB, QC ops", qc.n, 504, step, frames, 100,
            bytes_per_frame_iter=flip_bytes(3024, qc.n, 504), early_term=True)
 
-    # NGDBFhw fixed point, 802.3an class, T=200 at 4.25 dB
+    # NGDBFhw fixed point, 802.3an class, T=200 at 4.25 dB.  Two rows:
+    # the gather baseline, and dense MXU graph ops — the sweep CLI's
+    # default for unstructured H of this size (sweep.py dense_worthwhile)
+    from ..decoders.dense_ops import DenseGraph as _DG
+
     hw_code = load_named_code("highrate_2048_384")
     cfg_hw = NGDBFHwConfig(num_iterations=200, ring_len=2648)
     sigma_hw = float(snr_to_sigma(4.25, 0.8413))
@@ -282,9 +286,18 @@ def main(argv: Optional[List[str]] = None) -> int:
             hw_code, awgn(k, jnp.ones((b, hw_code.n), jnp.float32), sigma_hw),
             sigma_hw, cfg_hw, key=jax.random.fold_in(k, 98),
         ).least_errors))
-    record("NGDBFhw T<=200 (2048,1664-class)", hw_code.n, 1664, step, frames,
+    record("NGDBFhw T<=200 (2048,1664-class), gather baseline", hw_code.n,
+           1664, step, frames,
            200, bytes_per_frame_iter=flip_bytes(12288, 2048, 384),
            early_term=True)
+    hw_dg = _DG.from_code(hw_code)
+    step, frames = mega(2048, 2, lambda k, b: jnp.sum(
+        decode_ngdbf_hw(
+            hw_code, awgn(k, jnp.ones((b, hw_code.n), jnp.float32), sigma_hw),
+            sigma_hw, cfg_hw, key=jax.random.fold_in(k, 96), dense=hw_dg,
+        ).least_errors))
+    record("NGDBFhw T<=200 (2048,1664-class), dense MXU ops (sweep default)",
+           hw_code.n, 1664, step, frames, 200, early_term=True)
 
     # NGDBFhw on the REAL 802.3an H (no circulant structure): dense MXU
     # graph ops replace the gathers (decoders/dense_ops.py).  Skipped when
