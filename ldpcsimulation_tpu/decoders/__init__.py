@@ -2,7 +2,7 @@
 
 from .base import DecodeResult, check_satisfied, syndrome_from_hard
 from .bp import decode_bp
-from .ddbmp import decode_ddbmp
+from .ddbmp import decode_ddbmp, decode_ddbmp_qc
 from .gdbf import GDBFConfig, GDBFResult, PRESETS, decode_gdbf, preset
 from .minsum import decode_minsum
 from .minsum_layered import decode_minsum_layered_qc
@@ -17,6 +17,7 @@ __all__ = [
     "syndrome_from_hard",
     "decode_bp",
     "decode_ddbmp",
+    "decode_ddbmp_qc",
     "GDBFConfig",
     "GDBFResult",
     "PRESETS",

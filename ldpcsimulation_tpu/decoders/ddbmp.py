@@ -29,7 +29,7 @@ import jax.numpy as jnp
 from ..codes.code import Code
 from .base import DecodeResult, check_satisfied, gather_cn, gather_vn, sgn_pos, vma_like
 
-__all__ = ["decode_ddbmp"]
+__all__ = ["decode_ddbmp", "decode_ddbmp_qc"]
 
 
 @functools.partial(jax.jit, static_argnames=("num_iterations",))
@@ -99,3 +99,119 @@ def decode_ddbmp(
 
     _t, _mem, d, iters, done = jax.lax.while_loop(cond, body, init)
     return DecodeResult(hard=d.T, iterations=iters, satisfied=done)
+
+
+@functools.partial(jax.jit, static_argnames=("qc", "num_iterations"))
+def decode_ddbmp_qc(
+    qc, yq: jax.Array, num_iterations: int
+) -> DecodeResult:
+    """Gather-free DD-BMP on a QC code (same semantics as
+    :func:`decode_ddbmp`; the VN<->CN permutation runs as static per-block
+    rolls, see :mod:`.minsum_qc`).
+
+    Bit-exact with the generic decoder on the same expanded H for ANY slot
+    order: messages are ±1 and the accumulator sums add small exact f32
+    values, so no reduction-order rounding exists to preserve.  Generalized
+    structures use the qc_slot_plan masks — absent edges contribute the +1
+    product neutral, a zero c2v term, and a zeroed decision vote.
+    """
+    from .minsum_qc import qc_check_satisfied, qc_slot_plan
+
+    y_t = jnp.asarray(yq).T  # [N, B]
+    n, b = y_t.shape
+    assert n == qc.n
+    z = qc.z
+    dv_max = qc.dv_max
+    yb = y_t.reshape(qc.nb, z, b)
+    cn_plan, vn_plan = qc_slot_plan(qc)
+    mem0 = jnp.broadcast_to(
+        yb[:, None], (qc.nb, dv_max, z, b)
+    ).astype(y_t.dtype)
+    d0 = jnp.where(yb > 0, 1, -1).astype(jnp.int32)
+    sign_y = sgn_pos(yb)
+    zero = jnp.zeros((z, b), y_t.dtype)
+
+    def one_round(mem):
+        # CN: sign product with exclusion-by-self (values ±1, order-free)
+        c2v = [[None] * len(qc.vn_blocks[bj]) for bj in range(qc.nb)]
+        for bi in range(qc.mb):
+            views = []
+            for e in cn_plan[bi]:
+                v = jnp.roll(sgn_pos(mem[e.bj, e.vslot]), -e.shift, axis=0)
+                if e.cn_mask is not None:
+                    v = jnp.where(
+                        jnp.asarray(e.cn_mask)[:, None], jnp.ones_like(v), v
+                    )
+                views.append(v)
+            prod = views[0]
+            for v in views[1:]:
+                prod = prod * v
+            for t, e in enumerate(cn_plan[bi]):
+                c2v[e.bj][e.vslot] = jnp.roll(
+                    prod * views[t], e.shift, axis=0
+                )
+        totals = []
+        planes = []
+        dsums = []
+        for bj in range(qc.nb):
+            slots = []
+            for e, sa in zip(vn_plan[bj], c2v[bj]):
+                if e.zero_mask is not None:
+                    sa = jnp.where(
+                        jnp.asarray(e.zero_mask)[:, None],
+                        jnp.zeros_like(sa), sa,
+                    )
+                slots.append(sa)
+            acc = None
+            for sa in slots:
+                acc = sa if acc is None else acc + sa
+            total = yb[bj] + acc
+            totals.append(total)
+            mem_rows = []
+            outs = []
+            for s, (e, sa) in enumerate(zip(vn_plan[bj], slots)):
+                mrow = mem[bj, s] + total - sa
+                mem_rows.append(mrow)
+                o = sgn_pos(mrow)
+                if e.zero_mask is not None:
+                    o = jnp.where(
+                        jnp.asarray(e.zero_mask)[:, None],
+                        jnp.zeros_like(o), o,
+                    )
+                outs.append(o)
+            mem_rows += [zero] * (dv_max - len(mem_rows))
+            planes.append(jnp.stack(mem_rows))
+            osum = outs[0]
+            for o in outs[1:]:
+                osum = osum + o
+            dsums.append(sign_y[bj] + osum)
+        d = jnp.where(jnp.stack(dsums) > 0, 1, -1).astype(jnp.int32)
+        return jnp.stack(planes), d
+
+    init = (
+        jnp.int32(0),
+        mem0,
+        d0,
+        vma_like(jnp.full((b,), num_iterations, jnp.int32), d0),
+        vma_like(jnp.zeros((b,), bool), d0),
+    )
+
+    def cond(carry):
+        t, _mem, _d, _iters, done = carry
+        return (t < num_iterations) & ~jnp.all(done)
+
+    def body(carry):
+        t, mem, d, iters, done = carry
+        mem_new, d_new = one_round(mem)
+        act = ~done
+        mem = jnp.where(act[None, None, None, :], mem_new, mem)
+        d = jnp.where(act[None, None, :], d_new, d)
+        sat = qc_check_satisfied(qc, d)
+        newly = act & sat
+        iters = jnp.where(newly, t, iters)  # break index, it = t
+        done = done | sat
+        return (t + 1, mem, d, iters, done)
+
+    _t, _mem, d, iters, done = jax.lax.while_loop(cond, body, init)
+    return DecodeResult(hard=d.reshape(n, b).T, iterations=iters,
+                        satisfied=done)

@@ -322,7 +322,28 @@ def main(argv: Optional[List[str]] = None) -> int:
         record("NGDBFhw T<=200 REAL 802.3an H, dense MXU ops", real.n,
                1723, step, frames, 200, early_term=True)
 
-    # DD-BMP T=50 on MacKay-class (4000,2000)
+    # DD-BMP T=50 on a QC (4000,2000)-class code: the roll path
+    from ..codes.qc import qc_peg as _qc_peg
+    from ..decoders.ddbmp import decode_ddbmp_qc
+
+    dd_qc = _qc_peg(40, 20, 4, z=100, seed=2)
+    sigma_d = float(snr_to_sigma(3.9, 0.5))
+    from ..channel.quantize import quantize_no_zero
+    step, frames = mega(2048, 2, lambda k, b: jnp.sum(
+        decode_ddbmp_qc(
+            dd_qc,
+            quantize_no_zero(
+                awgn(k, jnp.ones((b, dd_qc.n), jnp.float32), sigma_d),
+                1.5, 8.0,
+            ),
+            50,
+        ).hard != 1))
+    record("DD-BMP T<=50 QC (4000,2000) @3.9dB, rolls (sweep default)",
+           dd_qc.n, 2000, step, frames, 50,
+           bytes_per_frame_iter=flip_bytes(16000, 4000, 2000),
+           early_term=True)
+
+    # DD-BMP T=50 on MacKay-class (4000,2000), gather baseline
     dd_code = load_named_code("reg4_4000_2000")
     sigma_d = float(snr_to_sigma(3.9, 0.5))
     from ..channel.quantize import quantize_no_zero
@@ -335,7 +356,7 @@ def main(argv: Optional[List[str]] = None) -> int:
             ),
             50,
         ).hard != 1))
-    record("DD-BMP T<=50 (4000,2000) @3.9dB", dd_code.n, 2000, step, frames,
+    record("DD-BMP T<=50 (4000,2000) @3.9dB, gather baseline", dd_code.n, 2000, step, frames,
            50, bytes_per_frame_iter=msg_bytes(16000, dd_code.n),
            early_term=True)
 

@@ -34,7 +34,7 @@ from ..channel.quantize import quantize_no_zero, quantize_round, saturate
 from ..codes import build_code, load_alist
 from ..codes.library import NAMED_CODES, load_named_code
 from ..decoders.bp import decode_bp
-from ..decoders.ddbmp import decode_ddbmp
+from ..decoders.ddbmp import decode_ddbmp, decode_ddbmp_qc
 from ..decoders.gdbf import PRESETS, preset
 from ..decoders.gdbf import decode_gdbf
 from ..decoders.minsum import decode_minsum
@@ -428,7 +428,9 @@ def main(argv: Optional[List[str]] = None) -> int:
             nql = nq if nq is not None else 8.0
             stats = run_point(
                 snr,
-                lambda yq, key: decode_ddbmp(code, yq, T),
+                (lambda yq, key: decode_ddbmp_qc(qc, yq, T))
+                if qc is not None
+                else (lambda yq, key: decode_ddbmp(code, yq, T)),
                 preprocess=lambda y: quantize_no_zero(y, ym, nql),
             )
             row = minsum_log_row(snr, stats, T, alist_name, ymax=ym)
@@ -596,6 +598,8 @@ def _run_distributed(args, code, qc, alist_name, snrs, rate, stop, T):
         nql = args.nq[0] if args.nq[0] is not None else 8.0
 
         def dec(y, sigma, key):
+            if qc is not None:
+                return decode_ddbmp_qc(qc, _qnz(y, ym, nql), T)
             return decode_ddbmp(code, _qnz(y, ym, nql), T)
     elif args.decoder == "ngdbfhw":
         from ..decoders.dense_ops import DenseGraph, dense_worthwhile

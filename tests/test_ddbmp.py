@@ -57,3 +57,40 @@ def test_ddbmp_iteration_semantics(dcode):
     res = decode_ddbmp(code, y, num_iterations=10)
     assert int(res.iterations[0]) == 0
     assert bool(res.satisfied[0])
+
+
+def test_ddbmp_qc_bit_exact_vs_generic():
+    """QC roll DD-BMP == generic gather DD-BMP, decisions AND iteration
+    counts, on a plain QC code and on a generalized (pair + minus) one."""
+    import jax.numpy as jnp
+
+    from ldpcsimulation_tpu.codes import build_code
+    from ldpcsimulation_tpu.codes.qc import build_qc_code_edges, qc_peg
+    from ldpcsimulation_tpu.channel import quantize_no_zero
+    from ldpcsimulation_tpu.decoders.ddbmp import (
+        decode_ddbmp,
+        decode_ddbmp_qc,
+    )
+
+    rng = np.random.default_rng(11)
+    cases = [
+        qc_peg(12, 6, 3, z=8, seed=3),
+        build_qc_code_edges(
+            [(0, 0, 1), (0, 0, 3), (0, 1, 0), (0, 2, 2),
+             (1, 0, 2), (1, 1, 2), (1, 2, 4)],
+            5, 2, 3, minus_edges=((1, 2, 4, 1),),
+        ),
+    ]
+    for qc in cases:
+        code = build_code(qc.to_alist())
+        y = rng.normal(1.0, 0.8, size=(64, qc.n)).astype(np.float32)
+        yq = quantize_no_zero(jnp.asarray(y), 1.5, 8.0)
+        a = decode_ddbmp_qc(qc, yq, 20)
+        bres = decode_ddbmp(code, yq, 20)
+        np.testing.assert_array_equal(np.asarray(a.hard), np.asarray(bres.hard))
+        np.testing.assert_array_equal(
+            np.asarray(a.iterations), np.asarray(bres.iterations)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(a.satisfied), np.asarray(bres.satisfied)
+        )

@@ -112,6 +112,9 @@ def main() -> int:
             code, y, 0.5, preset("RSMNGDBF", 5, -0.8, max_phases=2), key=key
         ).hard),
         ("ddbmp", lambda: decode_ddbmp(code, y, 10).hard),
+        ("ddbmp_qc generalized", lambda: __import__(
+            "ldpcsimulation_tpu.decoders.ddbmp", fromlist=["decode_ddbmp_qc"]
+        ).decode_ddbmp_qc(gqc, yg, 10).hard),
         ("ngdbf_hw", lambda: decode_ngdbf_hw(
             code, y, 0.5, NGDBFHwConfig(num_iterations=10, ring_len=300),
             key=key).hard),
