@@ -124,7 +124,7 @@ jax.tree_util.register_dataclass(
 )
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+@functools.partial(jax.jit, static_argnames=("cfg", "qc"))
 def decode_ngdbf_hw(
     code: Code,
     y: jax.Array,
@@ -135,6 +135,7 @@ def decode_ngdbf_hw(
     qpointer0: Optional[jax.Array] = None,
     ring_noise: Optional[jax.Array] = None,
     dense: Optional[DenseGraph] = None,
+    qc=None,
 ) -> NGDBFHwResult:
     """Batched fixed-point NGDBF decode.
 
@@ -147,9 +148,18 @@ def decode_ngdbf_hw(
     dense: optional :class:`.dense_ops.DenseGraph` of the SAME code — MXU
     matmul graph ops (bit-identical; the fast path for the real 802.3an H,
     which has no circulant structure).
+    qc: optional :class:`..codes.qc.QCCode` structure of the SAME code —
+    static-roll graph ops (bit-identical; the fast path for QC codes too
+    large for a dense H, e.g. DVB-S2-sized).  Mutually exclusive with
+    ``dense``.
     """
     if dense is not None and (dense.n != code.n or dense.m != code.m):
         raise ValueError("dense graph does not match code dimensions")
+    if qc is not None:
+        if dense is not None:
+            raise ValueError("pass either qc or dense, not both")
+        if qc.n != code.n or qc.m != code.m:
+            raise ValueError("qc structure does not match code dimensions")
     y_t = jnp.asarray(y, jnp.float32).T  # [N, B]
     n, b = y_t.shape
     T = cfg.num_iterations
@@ -197,6 +207,10 @@ def decode_ngdbf_hw(
         """[M, B] {0,1} syndrome, 0 = satisfied (NGDBFhw.cpp:546-563)."""
         if dense is not None:
             return dense_syndrome01(dense, d)
+        if qc is not None:
+            from .qc_ops import qc_syndrome_bipolar
+
+            return (1 - qc_syndrome_bipolar(qc, 1 - 2 * d)) // 2
         vals = jnp.take(1 - 2 * d, code.cn_vn.reshape(-1), axis=0).reshape(
             code.m, code.dc_max, b
         )
@@ -251,6 +265,11 @@ def decode_ngdbf_hw(
         # symbol update (NGDBFhw.cpp:565-593)
         if dense is not None:
             ssum = dense_sat_sum_per_vn(dense, syn)  # [N, B]
+        elif qc is not None:
+            from .qc_ops import qc_syndrome_sum_per_vn
+
+            unsat = qc_syndrome_sum_per_vn(qc, syn)  # [N, B] ints
+            ssum = (code.vn_deg[:, None] - unsat).astype(jnp.int32)
         else:
             sat_neighbors = jnp.take(
                 1 - syn, code.vn_cn.reshape(-1), axis=0

@@ -473,7 +473,7 @@ def main(argv: Optional[List[str]] = None) -> int:
             stats = run_point(
                 snr,
                 lambda y, key: decode_ngdbf_hw(
-                    code, y, sigma, cfg, key=key, dense=dense
+                    code, y, sigma, cfg, key=key, dense=dense, qc=qc
                 ),
                 stop_override=StopRule.fixed_frames(args.frames),
             )
@@ -618,12 +618,14 @@ def _run_distributed(args, code, qc, alist_name, snrs, rate, stop, T):
             ring_len=max(2648, code.n + 600),
         )
         hw_dense = (
-            DenseGraph.from_code(code) if dense_worthwhile(code) else None
+            DenseGraph.from_code(code)
+            if qc is None and dense_worthwhile(code)
+            else None
         )
 
         def dec(y, sigma, key):
             return decode_ngdbf_hw(
-                code, y, sigma, hw_cfg, key=key, dense=hw_dense
+                code, y, sigma, hw_cfg, key=key, dense=hw_dense, qc=qc
             )
     else:
         raise SystemExit(

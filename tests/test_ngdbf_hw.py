@@ -110,3 +110,42 @@ def test_ngdbf_hw_end_to_end():
     res = decode_ngdbf_hw(code, y, sigma, cfg, key=key)
     assert np.asarray(res.least_errors).mean() < 3
     assert np.asarray(res.satisfied).mean() > 0.5
+
+
+def test_ngdbfhw_qc_ops_bit_exact():
+    """QC roll graph ops == generic gather ops, full decode outputs, on a
+    plain QC code and a generalized (multi-edge + defect) structure."""
+    import jax
+    import jax.numpy as jnp
+
+    from ldpcsimulation_tpu.codes import build_code
+    from ldpcsimulation_tpu.codes.qc import build_qc_code_edges, qc_peg
+    from ldpcsimulation_tpu.decoders.ngdbf_hw import (
+        NGDBFHwConfig,
+        decode_ngdbf_hw,
+    )
+
+    rng = np.random.default_rng(13)
+    cfg = NGDBFHwConfig(num_iterations=30, ring_len=400)
+    for qc in (
+        qc_peg(12, 6, 3, z=8, seed=3),
+        build_qc_code_edges(
+            [(0, 0, 1), (0, 0, 3), (0, 1, 0), (0, 2, 2),
+             (1, 0, 2), (1, 1, 2), (1, 2, 4)],
+            5, 2, 3, minus_edges=((1, 2, 4, 1),),
+        ),
+    ):
+        code = build_code(qc.to_alist())
+        y = jnp.asarray(
+            rng.normal(1.0, 0.7, size=(32, qc.n)).astype(np.float32)
+        )
+        key = jax.random.key(4)
+        a = decode_ngdbf_hw(code, y, 0.7, cfg, key=key, qc=qc)
+        b = decode_ngdbf_hw(code, y, 0.7, cfg, key=key)
+        np.testing.assert_array_equal(np.asarray(a.hard), np.asarray(b.hard))
+        np.testing.assert_array_equal(
+            np.asarray(a.iterations), np.asarray(b.iterations)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(a.least_errors), np.asarray(b.least_errors)
+        )
