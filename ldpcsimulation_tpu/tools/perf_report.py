@@ -360,6 +360,17 @@ def main(argv: Optional[List[str]] = None) -> int:
            50, bytes_per_frame_iter=msg_bytes(16000, dd_code.n),
            early_term=True)
 
+    # single-frame latency: 256 sequential B=1 decodes inside one jitted
+    # loop (per-decode latency = total/256; dispatch/tunnel overhead is
+    # amortized out, so this is the on-device serial decode time)
+    step, frames = mega(1, 256, lambda k, b: jnp.sum(
+        decode_minsum_qc(
+            qc, awgn(k, jnp.ones((b, qc.n), jnp.float32), sigma),
+            10, storage_dtype=jnp.float16,
+        ).hard != 1))
+    record("min-sum T=10 QC, single-frame latency (256 serial decodes)",
+           qc.n, 504, step, frames, 10)
+
     # NB FFT-QSPA GF(64), (96,48) symbols, T=20
     nb_code = build_code(nb_regular(96, 48, 3, q=64, seed=2))
     n0_nb = float(snr_to_n0(5.5, 0.5))
