@@ -221,3 +221,77 @@ def test_dvbs2_message_qc_bit_exact_spot():
     a = decode_minsum_qc(qc, y, 2)
     b = decode_minsum(code, y, 2)
     np.testing.assert_array_equal(np.asarray(a.hard), np.asarray(b.hard))
+
+
+def test_generalized_qc_random_structures_bit_exact():
+    """Property test: random generalized QC structures (random shifts incl.
+    0, random multi-edge pairs, random minus edges incl. row 0 and z-1)
+    stay bit-exact with the generic decoders."""
+    import jax.numpy as jnp
+
+    from ldpcsimulation_tpu.codes.qc import build_qc_code_edges
+    from ldpcsimulation_tpu.decoders.bp import decode_bp
+    from ldpcsimulation_tpu.decoders.bp_qc import decode_bp_qc
+    from ldpcsimulation_tpu.decoders.minsum import decode_minsum
+    from ldpcsimulation_tpu.decoders.minsum_qc import decode_minsum_qc
+
+    rng = np.random.default_rng(2024)
+    for trial in range(6):
+        z = int(rng.integers(3, 9))
+        mb, nb = 3, 5
+        edges = []
+        used = set()
+        # base single edges: every CN/VN block touched at least twice
+        for bi in range(mb):
+            cols = rng.choice(nb, size=3, replace=False)
+            for bj in cols:
+                s = int(rng.integers(0, z))
+                if (bi, int(bj), s) not in used:
+                    used.add((bi, int(bj), s))
+                    edges.append((bi, int(bj), s))
+        # ensure every VN block has degree >= 1
+        touched = {bj for _, bj, _ in edges}
+        for bj in range(nb):
+            if bj not in touched:
+                s = int(rng.integers(0, z))
+                edges.append((0, bj, s))
+                used.add((0, bj, s))
+        # add 1-2 multi-edge pairs (second shift distinct; never a triple)
+        for _ in range(int(rng.integers(1, 3))):
+            bi, bj, s = edges[int(rng.integers(0, len(edges)))]
+            if sum(1 for (a, b2, _) in edges if (a, b2) == (bi, bj)) != 1:
+                continue
+            s2 = int((s + rng.integers(1, z)) % z)
+            if (bi, bj, s2) not in used:
+                used.add((bi, bj, s2))
+                edges.append((bi, bj, s2))
+        # a minus edge on a NON-pair circulant at an extreme row
+        minus = ()
+        singles = [
+            (bi, bj, s) for (bi, bj, s) in edges
+            if sum(1 for (a, b2, _) in edges if (a, b2) == (bi, bj)) == 1
+        ]
+        if singles:
+            bi, bj, s = singles[int(rng.integers(0, len(singles)))]
+            r = int(rng.choice([0, z - 1, int(rng.integers(0, z))]))
+            minus = ((bi, bj, s, r),)
+        qc = build_qc_code_edges(edges, z, mb, nb, minus_edges=minus)
+        code = build_code(qc.to_alist())
+        y = jnp.asarray(
+            rng.normal(0.3, 1.0, size=(32, qc.n)).astype(np.float32)
+        )
+        a = decode_minsum_qc(qc, y, 5, early_termination=True)
+        b = decode_minsum(code, y, 5, early_termination=True)
+        np.testing.assert_array_equal(
+            np.asarray(a.hard), np.asarray(b.hard),
+            err_msg=f"trial {trial} minsum z={z} minus={minus}",
+        )
+        np.testing.assert_array_equal(
+            np.asarray(a.iterations), np.asarray(b.iterations)
+        )
+        a = decode_bp_qc(qc, y, 4)
+        b = decode_bp(code, y, 4)
+        np.testing.assert_array_equal(
+            np.asarray(a.hard), np.asarray(b.hard),
+            err_msg=f"trial {trial} bp z={z} minus={minus}",
+        )
