@@ -33,9 +33,13 @@ __all__ = [
     "decode_ngdbf_hw",
     "SystemCNGDBFConfig",
     "decode_ngdbf_systemc",
+    "decode_nb_minsum",
+    "decode_bp_layered_qc",
+    "decode_bp_qc",
+    "decode_minsum_stratified",
 ]
 from .nb_minsum import decode_nb_minsum  # noqa: F401,E402
 from .bp_layered import decode_bp_layered_qc  # noqa: F401,E402
 from .bp_qc import decode_bp_qc  # noqa: F401,E402
-from .minsum_qc import decode_minsum_qc  # noqa: F401,E402
+from .minsum_stratified import decode_minsum_stratified  # noqa: F401,E402
 from .minsum_layered import decode_minsum_layered_qc  # noqa: F401,E402
