@@ -123,18 +123,34 @@ def detect_qc(
     alist: Alist,
     z_candidates: Optional[Sequence[int]] = None,
     min_z: int = 4,
-    max_candidates: int = 12,
+    max_candidates: Optional[int] = None,
 ) -> Optional[DetectedQC]:
-    """Detect circulant-block structure; None if no exact layout found."""
+    """Detect circulant-block structure; None if no exact layout found.
+
+    Candidates are every divisor z of gcd(n, m) with z >= min_z whose
+    block grid could hold the edge set (num_edges % z == 0 — each full
+    circulant contributes exactly z edges), largest first.  All surviving
+    divisors are tried: truncating the list can silently miss the true z
+    of a highly composite gcd and route a genuine QC code to the gather
+    path.  ``max_candidates`` remains as an explicit opt-in bound.
+    """
     n, m = alist.n, alist.m
     if getattr(alist, "q", 0) and alist.q > 2:
         return None  # non-binary alists keep their own decoders
+    rows, cols = _edge_arrays(alist)
     g = math.gcd(n, m)
     if z_candidates is None:
+        num_edges = len(rows)
         z_candidates = sorted(
-            (d for d in range(min_z, g + 1) if g % d == 0), reverse=True
-        )[:max_candidates]
-    rows, cols = _edge_arrays(alist)
+            (
+                d
+                for d in range(min_z, g + 1)
+                if g % d == 0 and num_edges % d == 0
+            ),
+            reverse=True,
+        )
+        if max_candidates is not None:
+            z_candidates = z_candidates[:max_candidates]
     for z in z_candidates:
         for rname, rmap in _maps(m, z):
             for cname, cmap in _maps(n, z):

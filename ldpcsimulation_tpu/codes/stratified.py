@@ -298,12 +298,15 @@ def stratify(
     row_strata: Optional[Sequence[Sequence[int]]] = None,
     col_groups: Optional[Sequence[Sequence[int]]] = None,
     cap: Optional[int] = None,
+    max_cost: Optional[float] = None,
 ) -> StratifiedCode:
     """Build the stratified interleaver structure for a binary alist.
 
     ``row_strata``/``col_groups`` override the automatic search (they must
     satisfy the <=1-edge-per-stratum-column / independent-set invariants,
-    which are verified here).
+    which are verified here).  ``max_cost`` rejects (ValueError) structures
+    whose slot-traffic overhead exceeds the bound *before* the one-hot
+    tensor is materialized.
     """
     if getattr(alist, "q", 0) and alist.q > 2:
         raise ValueError("stratified structure is for binary codes")
@@ -347,6 +350,22 @@ def stratify(
     row_of = np.full((mb, h), -1, np.int32)
     for b, s in enumerate(row_strata):
         row_of[b, : len(s)] = s
+
+    # Bound cost/size BEFORE materializing the one-hot tensor: the cost
+    # formula needs only the slot-grid dims and the edge count, and a
+    # structure that will be rejected anyway (or whose one-hot would not
+    # fit in host memory) must not trigger a multi-GiB allocation first.
+    edges = sum(len(cols) for cols in alist.mlist)
+    slot_cost = (mb * kg * w + mb * h * kg) / (2.0 * max(edges, 1))
+    if max_cost is not None and slot_cost > max_cost:
+        raise ValueError(
+            f"stratified slot cost {slot_cost:.2f} exceeds max_cost "
+            f"{max_cost:.2f}"
+        )
+    if mb * kg * w * h > 1 << 30:  # 4 GiB of f32 one-hot
+        raise ValueError(
+            f"stratified one-hot tensor {mb}x{kg}x{w}x{h} is too large"
+        )
 
     onehot = np.zeros((mb, kg, w, h), np.float32)
     vn_valid = np.zeros((mb, kg, w), bool)
@@ -406,8 +425,8 @@ def detect_stratified(
     if alist.n * alist.m == 0:
         return None
     try:
-        sc = stratify(alist)
-    except ValueError:
+        sc = stratify(alist, max_cost=max_cost)
+    except (ValueError, MemoryError):
         return None
     if sc.cost > max_cost:
         return None

@@ -19,6 +19,26 @@ import jax
 import jax.numpy as jnp
 
 
+_REAL_802_3_ALIST = (
+    "/root/reference/C_implementations/codes/802_3/802_3_H.alist"
+)
+_real_802_3_cache: list = []
+
+
+def _real_802_3_code():
+    """Load the reference's real 802.3an H once (None if absent)."""
+    if not _real_802_3_cache:
+        import os
+
+        if os.path.exists(_REAL_802_3_ALIST):
+            from ..codes import build_code, load_alist
+
+            _real_802_3_cache.append(build_code(load_alist(_REAL_802_3_ALIST)))
+        else:
+            _real_802_3_cache.append(None)
+    return _real_802_3_cache[0]
+
+
 def _measure(step: Callable, repeats: int = 3) -> float:
     key = jax.random.key(0)
     int(step(key))  # compile + warm
@@ -156,14 +176,8 @@ def main(argv: Optional[List[str]] = None) -> int:
            + 2 * 3024 * 4)
 
     # min-sum on the REAL 802.3an H (unstructured: generic gathers, f16)
-    import os as _os2
-    real_ms_path = (
-        "/root/reference/C_implementations/codes/802_3/802_3_H.alist"
-    )
-    if _os2.path.exists(real_ms_path):
-        from ..codes import load_alist as _load_alist2
-
-        real_ms = build_code(_load_alist2(real_ms_path))
+    real_ms = _real_802_3_code()
+    if real_ms is not None:
         sigma_r = float(snr_to_sigma(4.25, 0.8413))
         step, frames = mega(8192, 2, lambda k, b: jnp.sum(
             decode_minsum(
@@ -183,7 +197,9 @@ def main(argv: Optional[List[str]] = None) -> int:
             decode_minsum_stratified as _dec_strat,
         )
 
-        sc_real = _detect_strat(_load_alist2(real_ms_path))
+        from ..codes import load_alist as _load_alist2
+
+        sc_real = _detect_strat(_load_alist2(_REAL_802_3_ALIST))
         if sc_real is not None:
             step, frames = mega(16384, 2, lambda k, b: jnp.sum(
                 _dec_strat(
@@ -303,15 +319,10 @@ def main(argv: Optional[List[str]] = None) -> int:
     # graph ops replace the gathers (decoders/dense_ops.py).  Skipped when
     # the reference checkout is absent.  No bytes model: the matmul path's
     # traffic is H-operand dominated and amortizes across the batch.
-    import os as _os
-    real_path = (
-        "/root/reference/C_implementations/codes/802_3/802_3_H.alist"
-    )
-    if _os.path.exists(real_path):
-        from ..codes import load_alist as _load_alist
+    real = _real_802_3_code()
+    if real is not None:
         from ..decoders.dense_ops import DenseGraph
 
-        real = build_code(_load_alist(real_path))
         dg = DenseGraph.from_code(real)
         step, frames = mega(2048, 2, lambda k, b: jnp.sum(
             decode_ngdbf_hw(

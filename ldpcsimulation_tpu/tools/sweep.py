@@ -115,6 +115,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--min-errors", type=int, default=200)
     p.add_argument("--min-word-errors", type=int, default=None)
     p.add_argument("--early-termination", action="store_true")
+    p.add_argument(
+        "--msg-dtype", choices=["f32", "f16"], default="f32",
+        help="min-sum message STORAGE dtype (arithmetic stays f32); "
+             "f16 is the benchmark precision mode, BER-identical to f32. "
+             "Applied uniformly to every min-sum route (generic, QC, "
+             "layered, stratified) so results stay bit-comparable.",
+    )
     p.add_argument("--verbose", action="store_true")
     # min-sum / ddbmp quantization
     p.add_argument("--ymax", type=float, nargs="+", default=[None])
@@ -183,9 +190,13 @@ def main(argv: Optional[List[str]] = None) -> int:
                     f"({qc.mb}x{qc.nb} base) — using roll decoders",
                     file=sys.stderr,
                 )
-            if qc is None:
+            if qc is None and args.decoder in (
+                "minsum", "offsetminsum", "normalizedminsum"
+            ):
                 # Non-QC but stratified matrices (802.3an RS-LDPC) get the
-                # MXU one-hot interleaver instead of the gather path.
+                # MXU one-hot interleaver instead of the gather path.  Only
+                # the min-sum route consumes the structure, so only it pays
+                # for the host-side greedy search.
                 from ..codes.stratified import detect_stratified
 
                 strat = detect_stratified(alist)
@@ -327,6 +338,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         elif args.decoder in ("minsum", "offsetminsum", "normalizedminsum"):
             variant = {"minsum": "plain", "offsetminsum": "offset",
                        "normalizedminsum": "normalized"}[args.decoder]
+            sdt = jnp.float16 if args.msg_dtype == "f16" else None
             pre = None
             if variant != "plain":
                 ym = ymax if ymax is not None else 2.0
@@ -345,6 +357,7 @@ def main(argv: Optional[List[str]] = None) -> int:
                     alpha=alpha if alpha is not None else 1.0,
                     delta=delta if delta is not None else 0.0,
                     early_termination=args.early_termination,
+                    storage_dtype=sdt,
                 )
             elif qc is not None:
                 from ..decoders.minsum_qc import decode_minsum_qc
@@ -354,6 +367,7 @@ def main(argv: Optional[List[str]] = None) -> int:
                     alpha=alpha if alpha is not None else 1.0,
                     delta=delta if delta is not None else 0.0,
                     early_termination=args.early_termination,
+                    storage_dtype=sdt,
                 )
             elif strat is not None:
                 from ..decoders.minsum_stratified import (
@@ -365,7 +379,7 @@ def main(argv: Optional[List[str]] = None) -> int:
                     alpha=alpha if alpha is not None else 1.0,
                     delta=delta if delta is not None else 0.0,
                     early_termination=args.early_termination,
-                    storage_dtype=jnp.float16,
+                    storage_dtype=sdt,
                 )
             else:
                 dec = lambda y, key: decode_minsum(
@@ -373,6 +387,7 @@ def main(argv: Optional[List[str]] = None) -> int:
                     alpha=alpha if alpha is not None else 1.0,
                     delta=delta if delta is not None else 0.0,
                     early_termination=args.early_termination,
+                    storage_dtype=sdt,
                 )
             stats = run_point(snr, dec, preprocess=pre)
             row = minsum_log_row(
@@ -604,6 +619,11 @@ def _run_distributed(args, code, qc, alist_name, snrs, rate, stop, T):
     elif args.decoder == "ngdbfhw":
         from ..decoders.dense_ops import DenseGraph, dense_worthwhile
 
+        # Same fixed-frame-count semantics as the non-distributed route
+        # (NGDBFhw.cpp:193): --frames overrides the error-count stop rule
+        # so distributed and single-device runs are statistically
+        # comparable.
+        stop = StopRule.fixed_frames(args.frames)
         hw_cfg = NGDBFHwConfig(
             num_iterations=T,
             w=args.w[0] if args.w[0] is not None else 0.185,
