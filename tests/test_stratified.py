@@ -197,3 +197,23 @@ def test_pytree_roundtrip(ref_802_3):
     sc2 = jax.tree.unflatten(treedef, leaves)
     assert isinstance(sc2, StratifiedCode)
     assert (sc2.mb, sc2.h, sc2.kg, sc2.w) == (sc.mb, sc.h, sc.kg, sc.w)
+
+
+def test_detect_rejects_oversized_without_allocation():
+    """detect_stratified must reject a high-cost structure BEFORE
+    materializing the one-hot tensor (the real DVB-S2 H would otherwise
+    attempt a ~10.9 GiB allocation; here a synthetic high-cost code
+    exercises the same pre-allocation gate)."""
+    import resource
+
+    from ldpcsimulation_tpu.codes import peg
+    from ldpcsimulation_tpu.codes.stratified import detect_stratified
+
+    # a random regular code stratifies with high cost (sparse strata)
+    alist = peg(512, 256, 3, seed=7)
+    before = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    sc = detect_stratified(alist, max_cost=0.01)  # force rejection
+    after = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    assert sc is None
+    # peak RSS must not have grown by a one-hot-tensor-sized amount
+    assert after - before < 512 * 1024  # KiB on Linux => <512 MiB growth

@@ -507,3 +507,45 @@ def test_sweep_autodetects_qc_alist(tmp_path, capsys):
     assert rc == 0
     assert "detected QC structure z=8" in capsys.readouterr().err
     assert len(log.read_text().strip().splitlines()) == 1
+
+
+def test_sweep_msg_dtype_f16_and_f32_rows(tmp_path):
+    """--msg-dtype routes uniformly: both modes produce a valid row on the
+    same grid point (f16 storage is the benchmark mode, BER-identical in
+    distribution; this is a routing test, not a statistical one)."""
+    rows = {}
+    for mode in ("f32", "f16"):
+        log = tmp_path / f"ms_{mode}.log"
+        rc = sweep_main(
+            [
+                "minsum", "--code", "peg_96_48", "--snr", "4.0", "-T", "5",
+                "--log", str(log), "--batch", "64", "--max-frames", "128",
+                "--min-errors", "1", "--msg-dtype", mode,
+            ]
+        )
+        assert rc == 0
+        rows[mode] = log.read_text().strip().split("\t")
+    # same schema, same SNR column; BER finite in both modes
+    assert rows["f32"][0] == rows["f16"][0] == "4"
+    assert 0.0 <= float(rows["f16"][1]) < 0.5
+
+
+def test_sweep_distributed_ngdbfhw_fixed_frames(tmp_path):
+    """--distributed ngdbfhw must honor the reference's fixed-frame-count
+    stop rule (NGDBFhw.cpp:193): exactly --frames frames, same as the
+    non-distributed route."""
+    log = tmp_path / "hw_dist.log"
+    rc = sweep_main(
+        [
+            "ngdbfhw", "--code", "peg_96_48", "--snr", "3.0", "-T", "5",
+            "--log", str(log), "--batch", "8", "--frames", "128",
+            "--distributed",
+        ]
+    )
+    assert rc == 0
+    cols = log.read_text().strip().split("\t")
+    # ngdbfhw row schema: SNR errors frames BER avgIters FER ...
+    # (frame totals advance in rounds of batch x devices = 64; 128 is
+    # round-aligned so the fixed-frames rule stops exactly there, instead
+    # of the error-count rule's data-dependent total)
+    assert int(cols[2]) == 128
