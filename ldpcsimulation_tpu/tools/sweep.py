@@ -136,6 +136,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--lam", type=float, nargs="+", default=[None])
     p.add_argument("--window", type=int, default=64)
     p.add_argument("--max-phases", type=int, default=None)
+    p.add_argument("--uniform-noise", action="store_true",
+                   help="variance-matched uniform perturbation noise "
+                        "(the reference's -DUNIFORM NGDBF builds, e.g. "
+                        "ngdbf_example_uniform_PEGReg504x1008.sh)")
     # ngdbfhw
     p.add_argument("--w", type=float, nargs="+", default=[None])
     p.add_argument("--theta0", type=float, nargs="+", default=[None])
@@ -409,6 +413,7 @@ def main(argv: Optional[List[str]] = None) -> int:
                         alpha=alpha,
                         window_size=args.window,
                         max_phases=args.max_phases,
+                        uniform_noise=args.uniform_noise or None,
                     ).items()
                     if v is not None
                 },
@@ -590,6 +595,7 @@ def _run_distributed(args, code, qc, alist_name, snrs, rate, stop, T):
                 alpha=args.alpha[0],
                 window_size=args.window,
                 max_phases=args.max_phases,
+                uniform_noise=args.uniform_noise or None,
             ).items() if v is not None},
         )
         ymax = args.ymax[0]

@@ -549,3 +549,20 @@ def test_sweep_distributed_ngdbfhw_fixed_frames(tmp_path):
     # round-aligned so the fixed-frames rule stops exactly there, instead
     # of the error-count rule's data-dependent total)
     assert int(cols[2]) == 128
+
+
+def test_sweep_gdbf_uniform_noise(tmp_path):
+    """--uniform-noise maps the reference's -DUNIFORM NGDBF builds
+    (variance-matched uniform perturbation) onto any GDBF preset."""
+    log = tmp_path / "uni.log"
+    rc = sweep_main(
+        [
+            "gdbf", "--preset", "SMNGDBF", "--uniform-noise",
+            "--code", "peg_96_48", "--snr", "5.0", "-T", "20",
+            "--theta", "-0.9", "--noise-scale", "1.0", "--lam", "0.97",
+            "--alpha", "2.25", "--ymax", "2.5", "--log", str(log),
+            "--batch", "64", "--max-frames", "128", "--min-errors", "1",
+        ]
+    )
+    assert rc == 0
+    assert log.read_text().strip()
