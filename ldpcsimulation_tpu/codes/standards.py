@@ -50,6 +50,7 @@ __all__ = [
     "dvbs2_rate12_alist",
     "dvbs2_rate12",
     "dvbs2_rate12_qc",
+    "dvbs2_rate12_encode",
 ]
 
 # IEEE 802.11n rate-1/2, z=27 (n=648, k=324) prototype matrix.  −1 = zero
@@ -271,3 +272,48 @@ def dvbs2_rate12_qc():
     row_perm = interleave
     col_perm = np.concatenate([np.arange(k), k + interleave])
     return DetectedQC(qc=qc, row_perm=row_perm, col_perm=col_perm)
+
+
+@functools.lru_cache(maxsize=None)
+def _dvbs2_rate12_info_edges():
+    """(cols, rows) int32 arrays of the info-part edges of the rate-1/2 H."""
+    m = 32400
+    q = DVBS2_RATE12_Q
+    cols = []
+    rows = []
+    for g, addrs in enumerate(DVBS2_RATE12_ADDRESSES):
+        base = np.asarray(addrs, np.int64)
+        for j in range(360):
+            c = g * 360 + j
+            r = (base + j * q) % m
+            cols.append(np.full(r.size, c, np.int64))
+            rows.append(r)
+    return (
+        np.concatenate(cols).astype(np.int32),
+        np.concatenate(rows).astype(np.int32),
+    )
+
+
+def dvbs2_rate12_encode(info: np.ndarray) -> np.ndarray:
+    """Systematic DVB-S2 rate-1/2 encoder (ETSI EN 302 307 §5.3.2).
+
+    The generic :func:`..codes.encode.make_encoder` (the analog of the
+    reference's ``cm_inversion`` GF(2) LU, ``C_implementations/inc/r.h:
+    88-176``) is dense O(n^2) — impractical at n = 64800.  The standard's
+    IRA structure encodes in O(E): accumulate each information bit into its
+    address rows, then a running XOR over the staircase produces the parity
+    bits (row r of H contains parity columns k+r and k+r-1, so
+    ``p_r = acc_r ^ p_{r-1}``).
+
+    info: [B, 32400] or [32400] 0/1 array -> codeword(s) [B, 64800]
+    (systematic: information first, parity appended), uint8.
+    """
+    info = np.atleast_2d(np.asarray(info)).astype(np.uint8) & 1
+    b, k = info.shape
+    if k != 32400:
+        raise ValueError(f"info length {k} != 32400")
+    cols, rows = _dvbs2_rate12_info_edges()
+    acc = np.zeros((32400, b), np.uint8)
+    np.bitwise_xor.at(acc, rows, info.T[cols])
+    parity = np.bitwise_xor.accumulate(acc, axis=0)
+    return np.concatenate([info, parity.T], axis=1)

@@ -223,6 +223,21 @@ def main(argv: Optional[List[str]] = None) -> int:
         if args.codewords
         else None
     )
+    if codewords is not None and code.q <= 2:
+        # Fail fast if the fixture rows are not in the code's null space —
+        # the classic trap is natural-order words against a column-
+        # relabeled variant (e.g. dvbs2_1_2_qc): BER vs a non-codeword
+        # "truth" is silently wrong.  A few syndrome products are cheap.
+        from ..decoders.base import syndrome_from_hard
+
+        probe = np.asarray(codewords[:4], np.int64)
+        d = jnp.asarray(1 - 2 * probe.T, jnp.float32)  # bit->±1, [N, B]
+        if bool((syndrome_from_hard(code, d) < 0).any()):
+            raise SystemExit(
+                f"sweep: error: {args.codewords}: rows are not codewords "
+                f"of this H (column order mismatch? e.g. natural-order "
+                f"DVB-S2 words require --code dvbs2_1_2, not dvbs2_1_2_qc)"
+            )
     snrs = _parse_snr(args.snr)
     T = args.iterations
     mwe = (

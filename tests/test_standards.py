@@ -295,3 +295,34 @@ def test_generalized_qc_random_structures_bit_exact():
             np.asarray(a.hard), np.asarray(b.hard),
             err_msg=f"trial {trial} bp z={z} minus={minus}",
         )
+
+
+def test_dvbs2_encoder_satisfies_all_checks():
+    """The O(E) IRA encoder (standards.dvbs2_rate12_encode) produces words
+    in the null space of the REAL rate-1/2 H: every one of the 32400
+    parity checks is satisfied for random information words, and the
+    encoding is systematic (info bits pass through untouched)."""
+    import numpy as np
+
+    from ldpcsimulation_tpu.codes.standards import (
+        dvbs2_rate12_alist,
+        dvbs2_rate12_encode,
+    )
+
+    rng = np.random.default_rng(3)
+    info = rng.integers(0, 2, (2, 32400), dtype=np.uint8)
+    cw = dvbs2_rate12_encode(info)
+    assert cw.shape == (2, 64800)
+    np.testing.assert_array_equal(cw[:, :32400], info)
+    al = dvbs2_rate12_alist()
+    # vectorized syndrome over all rows (mlist is ragged; flatten once)
+    rows = np.concatenate(
+        [np.full(len(cs), r) for r, cs in enumerate(al.mlist)]
+    )
+    cols = np.concatenate([np.asarray(cs) for cs in al.mlist])
+    syn = np.zeros((al.m, 2), np.uint8)
+    np.bitwise_xor.at(syn, rows, cw.T[cols])
+    assert not syn.any()
+    # different info -> different parity (the accumulator is injective)
+    cw2 = dvbs2_rate12_encode(1 - info)
+    assert (cw2[:, 32400:] != cw[:, 32400:]).any()
