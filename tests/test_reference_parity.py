@@ -1061,3 +1061,29 @@ def test_smngdbf_dvbs2_matches_reference(ref_smngdbf, tmp_path):
     )
     assert stats.fer == 1.0
     _assert_close_ber(stats.ber, ref_ber, factor=1.25)
+
+
+def test_reference_nb_gf8_code_decodes():
+    """FFT-QSPA on the reference's real GF(8) (6000,4000) code
+    (SystemC/NB-LDPC/codes/GF8/q8.sp.6000.4000.3000.1) — the third NB
+    field the reference ships; the Walsh-Hadamard CN update runs over
+    GF(2^3) bit-plane butterflies."""
+    from ldpcsimulation_tpu.channel import snr_to_n0
+    from ldpcsimulation_tpu.channel.nb import symbol_priors
+    from ldpcsimulation_tpu.decoders.nb_qspa import decode_nb_qspa
+
+    p = require_reference("SystemC/NB-LDPC/codes/GF8/q8.sp.6000.4000.3000.1")
+    code = build_code(load_alist(p))
+    assert code.q == 8 and code.n == 6000 and code.m == 4000
+    snr, rate = 4.0, 1.0 / 3.0  # (6000,4000) checks -> rate 1/3
+    n0 = float(snr_to_n0(snr, rate))
+    sigma = float(np.sqrt(n0 / 2))
+    rng = np.random.default_rng(6)
+    b = 2
+    y = 1.0 + sigma * rng.normal(size=(b, 6000, 3)).astype(np.float32)
+    pri = symbol_priors(jnp.asarray(y), n0, 8)
+    res = decode_nb_qspa(code, pri, num_iterations=15)
+    syms = np.asarray(res.symbols)
+    uncoded = (np.asarray(pri).argmax(-1) != 0).mean()
+    decoded = (syms != 0).mean()
+    assert decoded < uncoded / 10
