@@ -92,15 +92,20 @@ def test_simulate_distributed(pcode):
         assert s.iteration_hist.sum() == s.total_words
 
 
-def test_multiprocess_cluster_matches_single_process(pcode):
-    """Spawn a real 2-process jax.distributed CPU cluster (4 devices each)
+@pytest.mark.parametrize("nproc,devs_per_proc", [(2, 4), (4, 2)])
+def test_multiprocess_cluster_matches_single_process(
+    pcode, nproc, devs_per_proc
+):
+    """Spawn a real N-process jax.distributed CPU cluster (8 devices total)
     and check its psum-reduced counters equal a single-process 8-device run.
 
     This exercises the coordinator-kwargs path of ``init_distributed`` that
     round 1 shipped inverted (VERDICT weak #1): the cluster must actually
-    form, the mesh must span both processes, and — because per-device RNG
+    form, the mesh must span all processes, and — because per-device RNG
     streams fold in mesh coordinates, not process ids — the process
-    decomposition must be statistically invisible.
+    decomposition must be statistically invisible.  Both the 2x4 and 4x2
+    decompositions must give bit-identical counters (a v5e-16 pod is 4
+    hosts x 4 chips — the 4-process shape is the pod's host layout).
     """
     import json
     import os
@@ -123,12 +128,13 @@ def test_multiprocess_cluster_matches_single_process(pcode):
     env["PYTHONPATH"] = os.path.dirname(os.path.dirname(worker))
     procs = [
         subprocess.Popen(
-            [sys.executable, worker, str(port), "2", str(pid), "4", out_path],
+            [sys.executable, worker, str(port), str(nproc), str(pid),
+             str(devs_per_proc), out_path],
             env=env,
             stdout=subprocess.PIPE,
             stderr=subprocess.STDOUT,
         )
-        for pid in range(2)
+        for pid in range(nproc)
     ]
     try:
         outs = [p.communicate(timeout=300)[0].decode() for p in procs]
