@@ -30,6 +30,7 @@ import numpy as np
 from ..channel.awgn import awgn, bpsk, snr_to_n0
 from ..codes.code import Code
 from ..decoders.base import DecodeResult
+from .fixtures import cycle_indices
 
 __all__ = [
     "StopRule",
@@ -213,7 +214,7 @@ def simulate(
         # always run the full batch shape (one jit signature); short final
         # batches are sliced in accounting below
         if codewords is not None:
-            idx = (frame_offset + np.arange(batch_size)) % codewords.shape[0]
+            idx = cycle_indices(frame_offset, batch_size, codewords.shape[0])
             bits = jnp.asarray(codewords[idx])
         else:
             bits = jnp.zeros((batch_size, code.n), jnp.uint8)

@@ -72,9 +72,13 @@ def make_mesh(
 
 
 # A counters dict (one distributed step's output) has keys: errors,
-# uncoded_errors, word_errors, words, bits, iteration_sum, satisfied_words —
-# each [n_snr] int32 — plus error_weight_hist [n_snr, N+1] and
-# iteration_hist [n_snr, T+1].
+# uncoded_errors, word_errors, iteration_sum, satisfied_words — each
+# [n_snr] int32 — plus error_weight_hist [n_snr, N+1], iteration_hist
+# [n_snr, T+1], and (when the decoder reports it) smoothing_used [n_snr].
+# Frame/bit totals are NOT device counters: they are deterministic
+# (batch_global per snr point per step) and int32 psums of bit counts
+# would overflow at pod scale (batch * N * devices > 2^31) — the step
+# exposes them as step.batch_global / step.bits_global instead.
 BatchCounters = dict
 
 
@@ -88,6 +92,7 @@ def make_counters_step(
     preprocess: Optional[Callable] = None,
     awgn_form: str = "multiplicative",
     dtype=jnp.float32,
+    codewords=None,
 ):
     """Build the jitted distributed Monte-Carlo step.
 
@@ -108,8 +113,16 @@ def make_counters_step(
         raise ValueError(f"need {n_snr} sigmas for the snr axis")
     sigmas_arr = jnp.asarray(list(sigmas), dtype)
     n = code.n
+    # int32 error counters cannot overflow as long as the per-step global
+    # bit count fits: errors <= bits always
+    if batch_per_device * n_data * n > 2**31 - 1:
+        raise ValueError(
+            f"per-step bits {batch_per_device * n_data * n} exceed int32; "
+            "reduce batch_per_device (throughput comes from more steps)"
+        )
+    cw = None if codewords is None else jnp.asarray(codewords, jnp.uint8)
 
-    def local_step(root_key, bits, sigma):
+    def local_step(root_key, bits, sigma, round_idx):
         """Runs per device on its [1, b, N] slice of frames."""
         bits = bits[0]  # drop the sharded-to-singleton snr axis
         # per-device RNG stream: fold mesh coordinates into the root key
@@ -118,6 +131,13 @@ def make_counters_step(
         key = jax.random.fold_in(jax.random.fold_in(root_key, si), di)
         kch, kdec = jax.random.split(key)
         sigma = sigma.reshape(())
+        if cw is not None:
+            # cycle the fixture exactly like the single-device harness:
+            # global frame position -> row (mod L), advancing every round
+            bpd = bits.shape[0]
+            base = round_idx * (n_data * bpd) + di * bpd
+            idx = (base + jnp.arange(bpd)) % cw.shape[0]
+            bits = cw[idx]
         x = bpsk(bits).astype(dtype)
         y = awgn(kch, x, sigma, form=awgn_form, dtype=dtype)
         r = jnp.where(y > 0, 1, -1).astype(jnp.int32)
@@ -131,8 +151,6 @@ def make_counters_step(
             errors=jnp.sum(frame_errs),
             uncoded_errors=jnp.sum(uncoded),
             word_errors=jnp.sum(frame_errs > 0),
-            words=jnp.int32(b),
-            bits=jnp.int32(b * n),
             iteration_sum=jnp.sum(res.iterations.astype(jnp.int32)),
             satisfied_words=jnp.sum(res.satisfied.astype(jnp.int32)),
             error_weight_hist=jnp.sum(
@@ -145,6 +163,9 @@ def make_counters_step(
                 axis=0,
             ),
         )
+        su = getattr(res, "smoothing_used", None)
+        if su is not None:
+            counters["smoothing_used"] = jnp.sum(su.astype(jnp.int32))
         # reduce over the Monte-Carlo data axis (ICI collective), then add a
         # leading singleton that shard_map stacks along the snr axis
         counters = jax.tree.map(
@@ -156,24 +177,35 @@ def make_counters_step(
         errors=P("snr"),
         uncoded_errors=P("snr"),
         word_errors=P("snr"),
-        words=P("snr"),
-        bits=P("snr"),
         iteration_sum=P("snr"),
         satisfied_words=P("snr"),
         error_weight_hist=P("snr", None),
         iteration_hist=P("snr", None),
     )
+    # Does this decoder report smoothing_used?  Resolve statically (the
+    # out_specs pytree must match the output dict) via an abstract trace.
+    probe = jax.eval_shape(
+        lambda k: decode_fn(
+            jnp.zeros((batch_per_device, n), dtype),
+            jnp.asarray(0.5, dtype),
+            k,
+        ),
+        jax.random.key(0),
+    )
+    if getattr(probe, "smoothing_used", None) is not None:
+        out_specs["smoothing_used"] = P("snr")
 
     @jax.jit
-    def step(root_key, bits):
+    def step(root_key, bits, round_idx=0):
         out = jax.shard_map(
             local_step,
             mesh=mesh,
-            in_specs=(P(), P("snr", "data"), P("snr")),
+            in_specs=(P(), P("snr", "data"), P("snr"), P()),
             out_specs=out_specs,
-        )(root_key, bits, sigmas_arr)
+        )(root_key, bits, sigmas_arr, jnp.asarray(round_idx, jnp.int32))
         return out
 
     step.batch_global = batch_per_device * n_data
+    step.bits_global = batch_per_device * n_data * n
     step.n_snr = n_snr
     return step

@@ -41,12 +41,15 @@ def simulate_distributed(
     preprocess: Optional[Callable] = None,
     max_batches: int = 100000,
     verbose: bool = False,
+    codewords=None,
 ) -> List[MCStats]:
     """Run all SNR points of a sweep concurrently on the mesh.
 
     decode_fn(samples [b, N], sigma, key) -> DecodeResult-like.
     len(snrs_db) must equal the mesh "snr" axis size.  Returns one MCStats
-    per SNR point (wall_seconds is the shared sweep time).
+    per SNR point (wall_seconds is the shared sweep time).  ``codewords``:
+    optional [L, N] bit fixture, cycled across global frame positions like
+    the single-device harness (device-resident gather, not per-round H2D).
     """
     rate = code.rate if rate is None else rate
     stop = stop or StopRule(min_word_errors=default_min_word_errors(code.n))
@@ -61,6 +64,7 @@ def simulate_distributed(
         batch_per_device=batch_per_device,
         max_iterations=max_iterations,
         preprocess=preprocess,
+        codewords=codewords,
     )
     n_snr = len(sigmas)
     stats = [MCStats(n=code.n) for _ in range(n_snr)]
@@ -76,13 +80,17 @@ def simulate_distributed(
         ]
         if all(done):
             break
-        out = jax.device_get(step(jax.random.fold_in(root, batch_idx), bits))
+        out = jax.device_get(
+            step(jax.random.fold_in(root, batch_idx), bits, batch_idx)
+        )
         for i, s in enumerate(stats):
             s.errors += int(out["errors"][i])
             s.uncoded_errors += int(out["uncoded_errors"][i])
             s.word_errors += int(out["word_errors"][i])
-            s.total_words += int(out["words"][i])
-            s.total_bits += int(out["bits"][i])
+            # frame/bit totals are deterministic per step (int32-overflow-
+            # safe accumulation happens here on the host, in Python ints)
+            s.total_words += step.batch_global
+            s.total_bits += step.bits_global
             s.total_iterations += int(out["iteration_sum"][i])
             s.satisfied_words += int(out["satisfied_words"][i])
             # hist[0] of the on-device error-weight histogram counts
@@ -91,6 +99,10 @@ def simulate_distributed(
                 out["error_weight_hist"][i][1:], np.int64
             )
             s.iteration_hist += np.asarray(out["iteration_hist"][i], np.int64)
+            if "smoothing_used" in out:
+                s.extra["smoothing_used"] = s.extra.get(
+                    "smoothing_used", 0
+                ) + int(out["smoothing_used"][i])
         if verbose:
             line = " ".join(
                 f"{snrs_db[i]}dB:{stats[i].ber:.3g}" for i in range(n_snr)

@@ -5,12 +5,18 @@ Reference counterpart: the record/replay pair
 ``:783-791``) + ``replayGDBF.cpp`` (``loadRanState`` ``:771-779``, trace
 files of decisions and check messages per iteration ``:316-373``).
 
-Here replay needs no state files: every frame's channel noise and decoder
-perturbation are pure functions of (seed, batch index, frame index), so any
-frame from a :func:`..harness.simulate` run is reproducible from its
-coordinates alone.  ``trace_gdbf`` re-runs a single frame capturing the
-per-iteration decisions and bipolar syndromes — the data ``errtopng``
-renders (``errtopng.cpp:28-110``).
+Here replay needs no state files: every frame's channel noise is a pure
+function of (seed, batch index, frame index), and the decoder's internal
+randomness (GDBF perturbations / stochastic flip uniforms) is a pure
+function of (batch decode key, iteration, frame index) — the original
+batched decode draws ``[N, B]`` blocks per iteration
+(``gdbf.py:326-343``), so :func:`replay_decoder_randomness` re-derives
+the replayed frame's column from the SAME batch-shaped draws and injects
+it via ``decode_gdbf``'s ``perturbations``/``stoch_uniforms`` arguments.
+A B=1 re-decode with fresh draws would see different noise than the
+frame saw inside its batch.  ``trace_gdbf`` re-runs a single frame
+capturing the per-iteration decisions and bipolar syndromes — the data
+``errtopng`` renders (``errtopng.cpp:28-110``).
 """
 
 from __future__ import annotations
@@ -27,7 +33,75 @@ from ..codes.code import Code
 from ..decoders.base import syndrome_from_hard
 from ..decoders.gdbf import GDBFConfig, decode_gdbf
 
-__all__ = ["replay_channel", "trace_gdbf", "write_trace"]
+__all__ = [
+    "replay_channel",
+    "replay_decoder_randomness",
+    "trace_gdbf",
+    "write_trace",
+]
+
+
+def replay_decoder_randomness(
+    n: int,
+    cfg: GDBFConfig,
+    kdec: jax.Array,
+    batch_size: int,
+    frame_index: int,
+    sigma: float,
+    dtype=jnp.float32,
+):
+    """Re-derive one frame's decoder-internal random stream.
+
+    Returns ``(perturbations, stoch_uniforms)`` shaped ``[steps, N, 1]``
+    (or None where the config draws none), bit-identical to what column
+    ``frame_index`` of a ``batch_size``-wide decode saw: the decoder draws
+    ``[N, B]`` per iteration with ``knoise = fold_in(key, step)`` /
+    ``kflip = fold_in(fold_in(key, step), 7)`` (gdbf.py:326-343, 368-371),
+    so the batch shape is part of the stream and must be reproduced.
+    Noise shaping (``pert_t = sample_t - sample_{t-1}`` while active) is
+    applied here because the injection path bypasses it.
+    """
+    steps = cfg.max_phases * cfg.num_iterations
+    ns = jnp.asarray(sigma * cfg.noise_scale, dtype)
+    pert = None
+    stoch = None
+    if cfg.add_noise:
+
+        @jax.jit
+        def build_pert():
+            def body(_, step):
+                k = jax.random.fold_in(kdec, step)
+                if cfg.uniform_noise:
+                    u = jax.random.uniform(k, (n, batch_size), dtype)
+                    s = jnp.sqrt(3.0).astype(dtype) * ns * 2.0 * (u - 0.5)
+                else:
+                    s = ns * jax.random.normal(k, (n, batch_size), dtype)
+                return None, s[:, frame_index]
+
+            _, cols = jax.lax.scan(body, None, jnp.arange(steps))
+            return cols
+
+        cols = build_pert()
+        if cfg.noise_shaping:
+            prev = jnp.concatenate(
+                [jnp.zeros((1, n), dtype), cols[:-1]], axis=0
+            )
+            cols = cols - prev
+        pert = cols[:, :, None]
+    if cfg.quantize_probabilities:
+
+        @jax.jit
+        def build_stoch():
+            def body(_, step):
+                k = jax.random.fold_in(jax.random.fold_in(kdec, step), 7)
+                u = jax.random.uniform(k, (n, batch_size), dtype)
+                return None, u[:, frame_index]
+
+            _, cols = jax.lax.scan(body, None, jnp.arange(steps))
+            return cols
+
+        stoch = build_stoch()[:, :, None]
+    return pert, stoch
 
 
 def replay_channel(
@@ -71,6 +145,8 @@ def trace_gdbf(
     sigma: float,
     cfg: GDBFConfig,
     key: jax.Array,
+    perturbations: Optional[jax.Array] = None,
+    stoch_uniforms: Optional[jax.Array] = None,
 ) -> GDBFTrace:
     """Decode one frame, capturing state after every iteration.
 
@@ -81,7 +157,10 @@ def trace_gdbf(
     the *final* output of unsatisfied frames, decodeGDBF.cpp:358-367).
     """
     y1 = jnp.asarray(yq)[None, :]
-    res, d_steps = decode_gdbf(code, y1, sigma, cfg, key=key, trace=True)
+    res, d_steps = decode_gdbf(
+        code, y1, sigma, cfg, key=key, trace=True,
+        perturbations=perturbations, stoch_uniforms=stoch_uniforms,
+    )
     satisfied = bool(res.satisfied[0])
     iterations = int(res.iterations[0])
     # executed update rounds: frozen-at-step `iterations` (break index) for
@@ -165,7 +244,15 @@ def _main(argv=None):
         noise_scale=args.noise_scale, lam=args.lam, alpha=args.alpha,
         window_size=args.window,
     )
-    tr = trace_gdbf(code, yq, sigma, cfg, key=kdec)
+    # the original batched decode drew [N, batch] randomness per step;
+    # replay the exact column this frame saw (gdbf.py batch-shape keying)
+    pert, stoch = replay_decoder_randomness(
+        code.n, cfg, kdec, args.batch, args.frame, sigma
+    )
+    tr = trace_gdbf(
+        code, yq, sigma, cfg, key=kdec,
+        perturbations=pert, stoch_uniforms=stoch,
+    )
     write_trace(tr, args.out)
     print(
         f"frame ({args.seed},{args.batch_index},{args.frame}): "

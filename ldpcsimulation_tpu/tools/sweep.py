@@ -72,6 +72,11 @@ def _parse_snr(spec: str) -> List[float]:
         if ":" in spec:
             a, b, s = (float(x) for x in spec.split(":"))
             n = int(round((b - a) / s)) + 1
+            if n < 1:
+                raise SystemExit(
+                    f"sweep: error: --snr range {spec!r} is empty "
+                    "(end before start with a positive step?)"
+                )
             return [round(a + i * s, 10) for i in range(n)]
         if "," in spec:
             return [float(x) for x in spec.split(",")]
@@ -276,7 +281,9 @@ def main(argv: Optional[List[str]] = None) -> int:
         )
 
     if args.distributed:
-        return _run_distributed(args, code, qc, alist_name, snrs, rate, stop, T)
+        return _run_distributed(
+            args, code, qc, alist_name, snrs, rate, stop, T, codewords
+        )
 
     rows = 0
     grid = list(
@@ -475,7 +482,7 @@ def main(argv: Optional[List[str]] = None) -> int:
             nb_stats = simulate_nb(
                 code, snr_db=snr, num_iterations=T, rate=rate,
                 stop=stop, batch_size=args.batch, seed=args.seed,
-                early_termination=True,
+                early_termination=args.early_termination,
             )
             # NB row: SNR SER BER avgIters FER T alist
             row = "\t".join(
@@ -533,21 +540,59 @@ def main(argv: Optional[List[str]] = None) -> int:
     return 0
 
 
-if __name__ == "__main__":
-    sys.exit(main())
-
-
-def _run_distributed(args, code, qc, alist_name, snrs, rate, stop, T):
+def _run_distributed(
+    args, code, qc, alist_name, snrs, rate, stop, T, codewords=None
+):
     """--distributed: all SNR points concurrently on the (snr x data) mesh.
 
     The mesh snr axis must equal len(snrs) and divide the device count
     (e.g. 2 points on an 8-device mesh -> 4 data shards per point).
-    Supports bp and the min-sum variants.
+    The SNR grid is the mesh axis; the other parameters take exactly ONE
+    value per invocation (a cartesian parameter grid needs one launch per
+    combination — erroring beats silently dropping grid points).
     """
     import jax
 
     from ..parallel.mesh import make_mesh
     from ..parallel.montecarlo import simulate_distributed
+
+    if args.schedule == "layered":
+        raise SystemExit(
+            "sweep: error: --schedule layered is not supported with "
+            "--distributed (run it single-device)"
+        )
+    multi = [
+        name
+        for name, vals in [
+            ("--ymax", args.ymax), ("--nq", args.nq),
+            ("--alpha", args.alpha), ("--delta", args.delta),
+            ("--theta", args.theta), ("--noise-scale", args.noise_scale),
+            ("--lam", args.lam), ("--w", args.w), ("--theta0", args.theta0),
+        ]
+        if len(vals) > 1
+    ]
+    if multi:
+        raise SystemExit(
+            f"sweep: error: --distributed runs one value per parameter; "
+            f"{', '.join(multi)} given multiple values (the SNR grid is "
+            "the distributed axis — launch once per parameter combination)"
+        )
+    if args.resume:
+        point = (
+            args.ymax[0], args.nq[0], args.alpha[0], args.delta[0],
+            args.theta[0], args.noise_scale[0], args.lam[0], args.w[0],
+            args.theta0[0],
+        )
+        done = set()
+        try:
+            with open(args.log + ".done") as f:
+                done.update(line.rstrip("\n") for line in f)
+        except FileNotFoundError:
+            pass
+        snrs = [s for s in snrs if _grid_key((s,) + point) not in done]
+        if not snrs:
+            print("sweep: all points already done", file=sys.stderr)
+            return 0
 
     nd = len(jax.devices())
     if nd % len(snrs):
@@ -563,6 +608,7 @@ def _run_distributed(args, code, qc, alist_name, snrs, rate, stop, T):
         nb_stats = simulate_nb_distributed(
             code, snrs, mesh, T, rate=rate, stop=stop,
             batch_per_device=args.batch, seed=args.seed,
+            early_termination=args.early_termination,
         )
         for snr, st in zip(snrs, nb_stats):
             row = "\t".join(
@@ -591,11 +637,21 @@ def _run_distributed(args, code, qc, alist_name, snrs, rate, stop, T):
                    "normalizedminsum": "normalized"}[args.decoder]
         alpha = args.alpha[0] if args.alpha[0] is not None else 1.0
         delta = args.delta[0] if args.delta[0] is not None else 0.0
+        sdt = jnp.float16 if args.msg_dtype == "f16" else None
+        # same channel as the non-distributed route: the quantized
+        # variants run through quantize_no_zero(ymax, nq)
+        ms_ymax = ms_nq = None
+        preprocess = None
+        if variant != "plain":
+            ms_ymax = args.ymax[0] if args.ymax[0] is not None else 2.0
+            ms_nq = args.nq[0] if args.nq[0] is not None else 8.0
+            preprocess = lambda y: quantize_no_zero(y, ms_ymax, ms_nq)
 
         def dec(y, sigma, key):
             return decode_minsum(
                 code, y, T, variant=variant, alpha=alpha, delta=delta,
                 early_termination=args.early_termination,
+                storage_dtype=sdt,
             )
     elif args.decoder == "gdbf":
         from ..channel.quantize import saturate as _sat
@@ -674,19 +730,39 @@ def _run_distributed(args, code, qc, alist_name, snrs, rate, stop, T):
             "gdbf, ddbmp, ngdbfhw, and nbqspa"
         )
 
+    if args.decoder not in ("minsum", "offsetminsum", "normalizedminsum"):
+        preprocess = None
+    # iteration counts accumulate across redecode phases (GDBF/NGDBFhw):
+    # size the on-device histogram for the full budget or late frames
+    # silently vanish from iteration_hist
+    max_it = T
+    if args.decoder == "gdbf":
+        max_it = T * cfg.max_phases
+    elif args.decoder == "ngdbfhw":
+        max_it = T * hw_cfg.max_phases
     stats_list = simulate_distributed(
         code, dec, snrs_db=snrs, mesh=mesh, rate=rate, stop=stop,
-        batch_per_device=args.batch, max_iterations=T, seed=args.seed,
+        batch_per_device=args.batch, max_iterations=max_it, seed=args.seed,
+        preprocess=preprocess, codewords=codewords,
     )
     for snr, st in zip(snrs, stats_list):
         if args.decoder == "bp":
             row = bp_log_row(snr, st, T, alist_name)
         elif args.decoder == "gdbf":
+            # identical column layout to the non-distributed route
+            # (logging.py: bracketed fields present iff feature enabled)
             row = gdbf_log_row(
                 snr, st, T, cfg.theta, alist_name,
-                noise_scale=cfg.noise_scale if cfg.add_noise else None,
+                noise_scale=cfg.noise_scale
+                if cfg.add_noise or cfg.quantize_probabilities
+                else None,
+                nq=int(args.nq[0]) if args.nq[0] is not None else None,
                 lam=cfg.lam if cfg.threshold_adaptation else None,
                 alpha=cfg.alpha if cfg.weight_syndromes else None,
+                smoothing_used=int(st.extra.get("smoothing_used", 0))
+                if cfg.output_smoothing else None,
+                window_size=cfg.window_size
+                if cfg.output_smoothing else None,
                 ymax=args.ymax[0],
             )
         elif args.decoder == "ddbmp":
@@ -697,11 +773,26 @@ def _run_distributed(args, code, qc, alist_name, snrs, rate, stop, T):
                 hw_cfg.ymax, hw_cfg.nq, hw_cfg.max_phases, args.seed,
             )
         else:
-            row = minsum_log_row(snr, st, T, alist_name)
+            row = minsum_log_row(
+                snr, st, T, alist_name,
+                ymax=ms_ymax,
+                alpha=alpha if variant == "normalized" else None,
+                delta=delta if variant == "offset" else None,
+            )
         append_row(args.log, row)
         print(
             f"SNR={snr} BER={st.ber:.4g} FER={st.fer:.4g} "
             f"frames={st.total_words}",
             file=sys.stderr,
         )
+        if args.resume:
+            _mark_done(args.log, _grid_key((
+                snr, args.ymax[0], args.nq[0], args.alpha[0], args.delta[0],
+                args.theta[0], args.noise_scale[0], args.lam[0], args.w[0],
+                args.theta0[0],
+            )))
     return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
