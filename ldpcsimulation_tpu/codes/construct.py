@@ -149,10 +149,12 @@ def random_regular(n: int, m: int, dv: int, seed: int = 0) -> Alist:
             ok = False
             clash = order[dup]
             partners = rng.integers(0, n * dv, size=clash.size)
-            sockets[clash], sockets[partners] = (
-                sockets[partners].copy(),
-                sockets[clash].copy(),
-            )
+            # Swap one pair at a time: a vectorized fancy-index swap is NOT a
+            # permutation when partners repeat or hit clash itself (numpy
+            # last-write-wins drops a socket), which silently breaks check
+            # degree regularity.
+            for i, j in zip(clash, partners):
+                sockets[i], sockets[j] = sockets[j], sockets[i]
         if ok:
             break
     if not ok:

@@ -251,7 +251,6 @@ def qc_ira(
         for i in range(mb - 1):
             p[i, i + 1] = 0
             p[i + 1, i + 1] = 0
-        p[0, 0] = s0
         return p
 
     for _ in range(tries):

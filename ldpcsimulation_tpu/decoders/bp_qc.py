@@ -87,7 +87,10 @@ def decode_bp_qc(
     early_termination: bool = False,
 ) -> DecodeResult:
     """Batched flooding sum-product on a QC code.  llr: [B, N]."""
-    llr_t = jnp.asarray(llr).T
+    # Input clamp (decodeBP.cpp:188-191), matching decode_bp: without it,
+    # |llr| ≳ 89 underflows phi to 0 and a later phi(0)=inf NaN-poisons the
+    # frame on this fast path only.
+    llr_t = jnp.clip(jnp.asarray(llr).T, -max_llr, max_llr)
     n, b = llr_t.shape
     assert n == qc.n
     yb = llr_t.reshape(qc.nb, qc.z, b)

@@ -31,7 +31,11 @@ __all__ = ["awgn_all_zero_pallas", "awgn_all_zero_hybrid",
 
 
 def _kernel(seed_ref, o_ref, *, sigma: float):
-    pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+    # Mix (seed, tile) through the PRNG's seed hash rather than adding them:
+    # seed+tile makes stream (s, i) identical to (s+1, i-1), so a loop that
+    # advances the seed by 1 per round would replay (grid-1)/grid of the
+    # previous round's samples.
+    pltpu.prng_seed(seed_ref[0], pl.program_id(0))
     shape = o_ref.shape
     b1 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
     b2 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
@@ -75,7 +79,7 @@ def awgn_all_zero_pallas(
 
 
 def _uniform_kernel(seed_ref, o_ref):
-    pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+    pltpu.prng_seed(seed_ref[0], pl.program_id(0))  # mixed, not added
     bits = pltpu.bitcast(pltpu.prng_random_bits(o_ref.shape), jnp.uint32)
     k = (bits >> 8).astype(jnp.int32)
     o_ref[:] = (k.astype(jnp.float32) + 0.5) * jnp.float32(2.0 ** -24)

@@ -37,7 +37,10 @@ def _kernel(msgs_ref, mask_ref, out_ref, *, dc_max: int):
     sprod = jnp.ones(shape, jnp.float32)
     for t in range(dc_max):
         msg = msgs_ref[:, t, :]
-        valid = mask_ref[:, t, :] > 0.5
+        # mask is batch-invariant: stream it as [tile_m, dc_max] (not a
+        # message-sized [tile_m, dc_max, tile_b] operand, which would double
+        # the kernel's HBM traffic) and broadcast along lanes here.
+        valid = mask_ref[:, t][:, None] > 0.5
         a = jnp.abs(msg)
         sign = jnp.where(msg >= 0, 1.0, -1.0)
         sprod = jnp.where(valid, sprod * sign, sprod)
@@ -49,7 +52,7 @@ def _kernel(msgs_ref, mask_ref, out_ref, *, dc_max: int):
         msg = msgs_ref[:, t, :]
         sign = jnp.where(msg >= 0, 1.0, -1.0)
         mag = jnp.where(minidx == t, min2, min1)
-        valid = mask_ref[:, t, :] > 0.5
+        valid = mask_ref[:, t][:, None] > 0.5
         out_ref[:, t, :] = jnp.where(valid, sprod * mag * sign, 0.0)
 
 
@@ -67,10 +70,8 @@ def minsum_cn_scan_pallas(
     bp = -(-b // tile_b) * tile_b
     msgs_p = jnp.zeros((mp, dc_max, bp), jnp.float32)
     msgs_p = msgs_p.at[:m, :, :b].set(msgs.astype(jnp.float32))
-    mask_p = jnp.zeros((mp, dc_max, bp), jnp.float32)
-    mask_p = mask_p.at[:m, :, :b].set(
-        jnp.broadcast_to(mask[:, :, None], (m, dc_max, b)).astype(jnp.float32)
-    )
+    mask_p = jnp.zeros((mp, dc_max), jnp.float32)
+    mask_p = mask_p.at[:m, :].set(mask.astype(jnp.float32))
     grid = (mp // tile_m, bp // tile_b)
     out = pl.pallas_call(
         functools.partial(_kernel, dc_max=dc_max),
@@ -83,8 +84,8 @@ def minsum_cn_scan_pallas(
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (tile_m, dc_max, tile_b),
-                lambda i, j: (i, 0, j),
+                (tile_m, dc_max),
+                lambda i, j: (i, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],

@@ -235,3 +235,15 @@ def test_true_rate_redundant_rows_802_3():
     assert code.true_k() == 2048 - 325
     assert abs(code.true_rate() - 0.8413) < 2e-4
     assert code.rate != code.true_rate()
+
+
+def test_random_regular_stays_regular_under_collision_swaps():
+    """Regression: the parallel-edge resolution swap must be a true
+    permutation of the socket multiset.  A vectorized fancy-index swap
+    corrupted it when partner indices collided (numpy last-write-wins),
+    yielding irregular check degrees on ~10% of seeds."""
+    for seed in (5, 16, 36, 38, 0, 1, 2, 3):
+        a = random_regular(500, 250, 4, seed=seed)
+        a.validate()
+        assert a.dv == [4] * 500, f"seed {seed}: variable degrees broken"
+        assert a.dc == [8] * 250, f"seed {seed}: check degrees broken"

@@ -74,3 +74,16 @@ def test_awgn_hybrid_statistics():
     assert abs(y.std() - 0.5) < 0.01
     y2 = np.asarray(awgn_all_zero_hybrid(3, 2048, 256, 0.5))
     np.testing.assert_array_equal(y, y2)
+
+
+def test_awgn_kernel_seed_tile_decorrelation():
+    """Regression: seeding per-tile as seed+program_id made stream (s, i)
+    identical to (s+1, i-1); the mixed-seed form must not reproduce a
+    neighboring seed's tiles."""
+    tile = 256
+    y0 = _run(0, 2048, 256, 0.5)
+    y1 = _run(1, 2048, 256, 0.5)
+    for i in range(7):
+        assert not np.array_equal(
+            y0[(i + 1) * tile:(i + 2) * tile], y1[i * tile:(i + 1) * tile]
+        )

@@ -152,3 +152,19 @@ def test_generic_f16_storage_bitexact_vs_qc_f16(small_qc, rng):
     np.testing.assert_array_equal(
         np.asarray(r1.iterations), np.asarray(r2.iterations)
     )
+
+
+def test_bp_qc_clamps_input_llrs(small_qc, rng):
+    """Regression: decode_bp_qc must clamp input LLRs like decode_bp
+    (decodeBP.cpp:188-191) — unclamped |llr| ≳ 89 underflows phi to 0 and
+    NaN-poisons frames on the QC fast path only."""
+    from ldpcsimulation_tpu.decoders.bp import decode_bp
+    from ldpcsimulation_tpu.decoders.bp_qc import decode_bp_qc
+
+    qc = small_qc
+    code = qc.to_code()
+    llr = rng.normal(0, 200.0, size=(8, qc.n))  # far beyond MAXLLR
+    r1 = decode_bp(code, jnp.asarray(llr), 6)
+    r2 = decode_bp_qc(qc, jnp.asarray(llr), 6)
+    assert np.isfinite(np.asarray(r2.hard)).all()
+    np.testing.assert_array_equal(np.asarray(r1.hard), np.asarray(r2.hard))
