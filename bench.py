@@ -75,8 +75,11 @@ def main() -> int:
             res = decode_minsum_qc(
                 qc, y, num_iterations=args.iterations, storage_dtype=sdt
             )
-            return acc + jnp.sum(res.hard != 1)
-        return jax.lax.fori_loop(0, args.rounds, body, jnp.int32(0))
+            # float32 accumulator: the worst-case error count at large
+            # --batch/--rounds exceeds int32 (32768*64*1008 = 2.11e9); this
+            # is a --verbose diagnostic, so f32 rounding beats silent wrap.
+            return acc + jnp.sum(res.hard != 1).astype(jnp.float32)
+        return jax.lax.fori_loop(0, args.rounds, body, jnp.float32(0))
 
     key = jax.random.key(0)
     # warmup (compile) with a real host sync

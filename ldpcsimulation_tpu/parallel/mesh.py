@@ -153,15 +153,18 @@ def make_counters_step(
             word_errors=jnp.sum(frame_errs > 0),
             iteration_sum=jnp.sum(res.iterations.astype(jnp.int32)),
             satisfied_words=jnp.sum(res.satisfied.astype(jnp.int32)),
-            error_weight_hist=jnp.sum(
-                jax.nn.one_hot(frame_errs, n + 1, dtype=jnp.int32), axis=0
-            ),
-            iteration_hist=jnp.sum(
-                jax.nn.one_hot(
-                    res.iterations, max_iterations + 1, dtype=jnp.int32
-                ),
-                axis=0,
-            ),
+            # Histograms are scatter-add bincounts: O(B) work and no
+            # O(B·(N+1)) one-hot intermediate (at DVB-S2 scale the one-hot
+            # is ~10⁸ compare-reduce lanes per step).  `mode="drop"` makes
+            # out-of-range values vanish exactly like an out-of-range
+            # one_hot row does, so counters are bit-identical to the old
+            # one-hot formulation (tests/test_parallel.py).
+            error_weight_hist=jnp.zeros(n + 1, jnp.int32)
+            .at[frame_errs]
+            .add(1, mode="drop"),
+            iteration_hist=jnp.zeros(max_iterations + 1, jnp.int32)
+            .at[res.iterations]
+            .add(1, mode="drop"),
         )
         su = getattr(res, "smoothing_used", None)
         if su is not None:
