@@ -249,8 +249,12 @@ def run_flooding_soft(
     ~8% of the flagship iteration time).  The T-th iteration runs outside
     the loop so its total feeds the decision directly.
 
-    Early termination: the shared masked while_loop with an int8 decision
-    carry (values are ±1; 4x less traffic than int32).
+    Early termination: a masked while_loop that freezes ONLY the decision
+    carry (int8: values are ±1, 4x less traffic than int32).  Frames are
+    independent along the batch, so the message state of a satisfied frame
+    may keep evolving — its latched ``d`` is what the decoder returns —
+    and NOT masking the message leaf saves a full message-state read+write
+    per iteration (~25% of the BP ET iteration time on v5e).
 
     Returns (d int32 in total's layout, iterations [B] i32, done [B] bool).
     """
@@ -272,18 +276,24 @@ def run_flooding_soft(
             satisfied_of(d),
         )
 
-    def step_et(st):
-        msgs, _d = st
-        msgs_new, total = step(msgs)
-        return (msgs_new, d_of(total, jnp.int8))
+    d0 = d_of(total0, jnp.int8)
+    done0 = satisfied_of(d0)
+    iters0 = done0.astype(jnp.int32) * 0  # vma-typed like the body output
 
-    d, iters, done = run_flooding(
-        (msgs0, d_of(total0, jnp.int8)),
-        step_et,
-        lambda st: st[1],
-        satisfied_of,
-        num_iterations,
-        True,
-        batch,
+    def cond(carry):
+        t, _msgs, _d, _iters, done = carry
+        return (t < num_iterations) & ~jnp.all(done)
+
+    def body(carry):
+        t, msgs, d, iters, done = carry
+        msgs_new, total = step(msgs)
+        act = ~done
+        d = _mask_last(act, d_of(total, jnp.int8), d)
+        iters = jnp.where(act, t + 1, iters)
+        done = done | satisfied_of(d)
+        return (t + 1, msgs_new, d, iters, done)
+
+    _t, _msgs, d, iters, done = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), msgs0, d0, iters0, done0)
     )
     return d.astype(jnp.int32), iters, done

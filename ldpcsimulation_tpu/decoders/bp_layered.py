@@ -2,7 +2,8 @@
 
 Layered counterpart of :mod:`.bp_qc`, structured like
 :mod:`.minsum_layered`: per base-row layers with immediate posterior
-updates and phi-domain check updates with exact prefix/suffix exclusion.
+updates and hyperbolic-pair check updates (see :mod:`.bp`) with exact
+prefix/suffix exclusion.
 No reference counterpart (the reference is flooding-only); this completes
 the schedule × algorithm matrix {flooding, layered} × {min-sum, BP}.
 
@@ -24,7 +25,7 @@ import jax.numpy as jnp
 
 from ..codes.qc import QCCode
 from .base import DecodeResult, run_flooding, sgn_pos
-from .bp import MAXLLR, _phi
+from .bp import MAXLLR, pair_excl_logmags
 from .minsum_qc import (
     assert_layered_compatible,
     qc_check_satisfied,
@@ -75,28 +76,25 @@ def decode_bp_layered_qc(
                 qext.append(ext)
                 ci = jnp.clip(ext, -max_llr, max_llr)
                 if e.cn_mask is not None:
-                    # mask AFTER the clip: phi(+inf) is exactly 0 and
-                    # sgn +1 — the true fold neutral
+                    # mask AFTER the clip: u = e^-inf is exactly 0 and
+                    # sgn +1 — the true pair-fold neutral
                     ci = jnp.where(jnp.asarray(e.cn_mask)[:, None], inf, ci)
                 qin.append(ci)
-            mags = [_phi(jnp.abs(v)) for v in qin]
+            us = [jnp.exp(-jnp.abs(v)) for v in qin]
             signs = [sgn_pos(v) for v in qin]
-            zeros = jnp.zeros((z, b), dtype)
+            mags = pair_excl_logmags(us)
             ones = jnp.ones((z, b), dtype)
-            pre_m, pre_s = [zeros], [ones]
+            pre_s = [ones]
             for t in range(dc - 1):
-                pre_m.append(pre_m[-1] + mags[t])
                 pre_s.append(pre_s[-1] * signs[t])
-            suf_m, suf_s = [zeros], [ones]
+            suf_s = [ones]
             for t in range(dc - 1, 0, -1):
-                suf_m.append(suf_m[-1] + mags[t])
                 suf_s.append(suf_s[-1] * signs[t])
-            suf_m.reverse()
             suf_s.reverse()
             new_rows = []
             posts = []
             for t, e in enumerate(entries):
-                out = (pre_s[t] * suf_s[t]) * _phi(pre_m[t] + suf_m[t])
+                out = pre_s[t] * suf_s[t] * mags[t]
                 if e.cn_mask is not None:
                     cm = jnp.asarray(e.cn_mask)[:, None]
                     out = jnp.where(cm, jnp.zeros_like(out), out)

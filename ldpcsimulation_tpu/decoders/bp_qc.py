@@ -1,9 +1,10 @@
 """Gather-free sum-product BP for quasi-cyclic codes.
 
-Same arithmetic as :mod:`.bp` (phi-domain CN update, exact prefix/suffix
-extrinsic exclusion, ±MAXLLR VN clamp) with the QC per-block static-roll
-message routing of :mod:`.minsum_qc` — the BASELINE "(1008,504) BP with
-early syndrome termination" configuration at the QC decoder's speed.
+Same arithmetic as :mod:`.bp` (hyperbolic-pair CN update, exact
+prefix/suffix extrinsic exclusion, ±MAXLLR VN clamp) with the QC per-block
+static-roll message routing of :mod:`.minsum_qc` — the BASELINE
+"(1008,504) BP with early syndrome termination" configuration at the QC
+decoder's speed.
 """
 
 from __future__ import annotations
@@ -14,8 +15,8 @@ import jax
 import jax.numpy as jnp
 
 from ..codes.qc import QCCode
-from .base import DecodeResult, run_flooding_soft, sgn_pos
-from .bp import MAXLLR, _phi
+from .base import DecodeResult, run_flooding_soft, sgn_pos, storage_cast
+from .bp import MAXLLR, pair_excl_logmags
 from .minsum_qc import (
     _swap_scan_views,
     _unswap_outputs,
@@ -31,14 +32,16 @@ def qc_cn_bp_slots(qc: QCCode, v2c):
     """Sum-product CN update on [Nb, dv_max, z, B] v2c, returning c2v slot
     EXPRESSIONS in VN layout (``slots[bj][s]`` = [z, B]), never stacked —
     the VN update consumes them fused (see minsum_qc.qc_cn_minsum_slots
-    for the rationale).  Generalized structures (multi-edge pairs, minus
-    edges) follow the qc_slot_plan masks: absent edges read +inf, whose
-    phi is exactly 0 and sign +1 — the fold's neutral element."""
+    for the rationale).  Arithmetic runs in (at least) float32 regardless
+    of the message storage dtype.  Generalized structures (multi-edge
+    pairs, minus edges) follow the qc_slot_plan masks: absent edges read
+    +inf, whose u = e^-|m| is exactly 0 and sign +1 — the pair fold's
+    neutral element (bp.pair_excl_logmags)."""
     z = qc.z
-    dtype = v2c.dtype
+    cdt = jnp.promote_types(v2c.dtype, jnp.float32)
     b = v2c.shape[-1]
     cn_plan, _ = qc_slot_plan(qc)
-    inf = jnp.asarray(jnp.inf, dtype)
+    inf = jnp.asarray(jnp.inf, v2c.dtype)
 
     c2v_slots = [[None] * len(qc.vn_blocks[bj]) for bj in range(qc.nb)]
     for bi in range(qc.mb):
@@ -48,27 +51,21 @@ def qc_cn_bp_slots(qc: QCCode, v2c):
             msg = jnp.roll(v2c[e.bj, e.vslot], -e.shift, axis=0)
             if e.cn_mask is not None:
                 msg = jnp.where(jnp.asarray(e.cn_mask)[:, None], inf, msg)
-            phys.append(msg)
+            phys.append(msg.astype(cdt))
         views = _swap_scan_views(entries, phys)
-        mags = [_phi(jnp.abs(v)) for v in views]
+        us = [jnp.exp(-jnp.abs(v)) for v in views]
         signs = [sgn_pos(v) for v in views]
         dc = len(views)
-        zeros = jnp.zeros((z, b), dtype)
-        ones = jnp.ones((z, b), dtype)
-        pre_m, pre_s = [zeros], [ones]
+        mags = pair_excl_logmags(us)
+        ones = jnp.ones((z, b), cdt)
+        pre_s = [ones]
         for t in range(dc - 1):
-            pre_m.append(pre_m[-1] + mags[t])
             pre_s.append(pre_s[-1] * signs[t])
-        suf_m, suf_s = [zeros], [ones]
+        suf_s = [ones]
         for t in range(dc - 1, 0, -1):
-            suf_m.append(suf_m[-1] + mags[t])
             suf_s.append(suf_s[-1] * signs[t])
-        suf_m.reverse()
         suf_s.reverse()
-        outs = [
-            (pre_s[t] * suf_s[t]) * _phi(pre_m[t] + suf_m[t])
-            for t in range(dc)
-        ]
+        outs = [pre_s[t] * suf_s[t] * mags[t] for t in range(dc)]
         outs = _unswap_outputs(entries, outs)
         for t, e in enumerate(entries):
             c2v_slots[e.bj][e.vslot] = jnp.roll(outs[t], e.shift, axis=0)
@@ -77,7 +74,9 @@ def qc_cn_bp_slots(qc: QCCode, v2c):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("qc", "num_iterations", "early_termination"),
+    static_argnames=(
+        "qc", "num_iterations", "early_termination", "storage_dtype"
+    ),
 )
 def decode_bp_qc(
     qc: QCCode,
@@ -85,20 +84,26 @@ def decode_bp_qc(
     num_iterations: int,
     max_llr: float = MAXLLR,
     early_termination: bool = False,
+    storage_dtype=None,
 ) -> DecodeResult:
-    """Batched flooding sum-product on a QC code.  llr: [B, N]."""
+    """Batched flooding sum-product on a QC code.  llr: [B, N].
+
+    storage_dtype: optional narrower dtype (e.g. float16) for the v2c
+    message planes; CN/VN arithmetic stays float32 (see decode_bp).
+    """
     # Input clamp (decodeBP.cpp:188-191), matching decode_bp: without it,
-    # |llr| ≳ 89 underflows phi to 0 and a later phi(0)=inf NaN-poisons the
-    # frame on this fast path only.
+    # |llr| ≳ 89 underflows u = e^-|m| to 0 and the resulting log(s/0) =
+    # inf NaN-poisons the frame on this fast path only.
     llr_t = jnp.clip(jnp.asarray(llr).T, -max_llr, max_llr)
     n, b = llr_t.shape
     assert n == qc.n
     yb = llr_t.reshape(qc.nb, qc.z, b)
     dv_max = qc.dv_max
+    sdt = storage_dtype if storage_dtype is not None else llr_t.dtype
     v2c0 = jnp.broadcast_to(yb[:, None], (qc.nb, dv_max, qc.z, b)).astype(
-        llr_t.dtype
+        sdt
     )
-    zero = jnp.zeros((qc.z, b), llr_t.dtype)
+    zero = jnp.zeros((qc.z, b), sdt)
     _, vn_plan = qc_slot_plan(qc)
 
     def step(v2c):
@@ -111,7 +116,8 @@ def decode_bp_qc(
             total = yb[bj] + _vn_fold(vn_plan[bj], slots[bj])
             totals.append(total)
             pl = [
-                jnp.clip(total - sa, -max_llr, max_llr) for sa in slots[bj]
+                storage_cast(jnp.clip(total - sa, -max_llr, max_llr), sdt)
+                for sa in slots[bj]
             ]
             pl += [zero] * (dv_max - len(pl))
             planes.append(jnp.stack(pl))

@@ -254,17 +254,32 @@ def main(argv: Optional[List[str]] = None) -> int:
         "layers)", dvb.n, 32400, step, frames, 10,
     )
 
-    # BP QC, early termination, T=30
+    # BP QC, early termination, T=30, f16 message storage (the benchmark
+    # precision mode; hyperbolic-pair CN — decoders/bp.py)
     step, frames = mega(8192, 4, lambda k, b: jnp.sum(
         decode_bp_qc(
             qc,
             llr_from_channel(
                 awgn(k, jnp.ones((b, qc.n), jnp.float32), sigma), n0
             ),
-            30, early_termination=True,
+            30, early_termination=True, storage_dtype=jnp.float16,
         ).hard != 1))
-    record("BP T<=30 (early term), QC", qc.n, 504, step, frames, 30,
-           bytes_per_frame_iter=msg_bytes(3024, qc.n), early_term=True)
+    record("BP T<=30 (early term), QC f16", qc.n, 504, step, frames, 30,
+           bytes_per_frame_iter=msg_bytes(3024, qc.n, storage=2),
+           early_term=True)
+
+    # BP fixed T=10 (reference semantics: no early exit, decodeBP.cpp:206)
+    # — the apples-to-apples row against min-sum T=10
+    step, frames = mega(8192, 4, lambda k, b: jnp.sum(
+        decode_bp_qc(
+            qc,
+            llr_from_channel(
+                awgn(k, jnp.ones((b, qc.n), jnp.float32), sigma), n0
+            ),
+            10, storage_dtype=jnp.float16,
+        ).hard != 1))
+    record("BP T=10 fixed, QC f16", qc.n, 504, step, frames, 10,
+           bytes_per_frame_iter=msg_bytes(3024, qc.n, storage=2))
 
     # layered min-sum T=10 (converges ~2x faster per iteration count)
     step, frames = mega(8192, 4, lambda k, b: jnp.sum(
@@ -401,8 +416,12 @@ def main(argv: Optional[List[str]] = None) -> int:
     header = [
         "# Measured decoder throughput (single TPU v5e chip)",
         "",
-        "Full pipeline per call: channel generation + decode + error count;",
-        "host-synchronized median timing (see bench.py methodology notes).",
+        "Full pipeline per call: channel generation + decode + error count.",
+        "Estimators: the table rows below use host-synchronized",
+        "MEDIAN-of-repeats timing (tools/perf_report.py); bench.py's",
+        "headline number uses MIN-of-repeats (the standard",
+        "device-capability estimator under the tunnel's exogenous latency",
+        "episodes — see bench.py methodology notes).",
         "Info-bit rates use each code's design k.  GB/s is the analytical",
         "streamed-bytes model (messages/gathers/syndromes, see",
         "perf_report.py) over measured time; % roofline is against the",

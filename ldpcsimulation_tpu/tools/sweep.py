@@ -122,10 +122,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--early-termination", action="store_true")
     p.add_argument(
         "--msg-dtype", choices=["f32", "f16"], default="f32",
-        help="min-sum message STORAGE dtype (arithmetic stays f32); "
-             "f16 is the benchmark precision mode, BER-identical to f32. "
-             "Applied uniformly to every min-sum route (generic, QC, "
-             "layered, stratified) so results stay bit-comparable.",
+        help="message STORAGE dtype (arithmetic stays f32); f16 is the "
+             "benchmark precision mode, BER-identical to f32.  Applied "
+             "uniformly to every min-sum route (generic, QC, layered, "
+             "stratified) and to flooding BP (generic, QC) so results "
+             "stay bit-comparable.",
     )
     p.add_argument("--verbose", action="store_true")
     # min-sum / ddbmp quantization
@@ -336,6 +337,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         n0 = float(snr_to_n0(snr, rate))
         sigma = float(snr_to_sigma(snr, rate))
         if args.decoder == "bp":
+            sdt = jnp.float16 if args.msg_dtype == "f16" else None
             if args.schedule == "layered":
                 if qc is None:
                     raise SystemExit(
@@ -351,11 +353,13 @@ def main(argv: Optional[List[str]] = None) -> int:
                 from ..decoders.bp_qc import decode_bp_qc
 
                 dec = lambda llr, key: decode_bp_qc(
-                    qc, llr, T, early_termination=args.early_termination
+                    qc, llr, T, early_termination=args.early_termination,
+                    storage_dtype=sdt,
                 )
             else:
                 dec = lambda llr, key: decode_bp(
-                    code, llr, T, early_termination=args.early_termination
+                    code, llr, T, early_termination=args.early_termination,
+                    storage_dtype=sdt,
                 )
             stats = run_point(
                 snr, dec, preprocess=lambda y: llr_from_channel(y, n0),
@@ -624,6 +628,8 @@ def _run_distributed(
         return 0
 
     if args.decoder == "bp":
+        bp_sdt = jnp.float16 if args.msg_dtype == "f16" else None
+
         def dec(y, sigma, key):
             from ..decoders.bp import decode_bp
 
@@ -631,6 +637,7 @@ def _run_distributed(
             return decode_bp(
                 code, jnp.clip(4.0 * y / n0, -20.0, 20.0), T,
                 early_termination=args.early_termination,
+                storage_dtype=bp_sdt,
             )
     elif args.decoder in ("minsum", "offsetminsum", "normalizedminsum"):
         variant = {"minsum": "plain", "offsetminsum": "offset",

@@ -168,3 +168,49 @@ def test_bp_qc_clamps_input_llrs(small_qc, rng):
     r2 = decode_bp_qc(qc, jnp.asarray(llr), 6)
     assert np.isfinite(np.asarray(r2.hard)).all()
     np.testing.assert_array_equal(np.asarray(r1.hard), np.asarray(r2.hard))
+
+
+def test_bp_qc_f16_storage_decodes(small_qc):
+    """BP f16 message storage + f32 arithmetic: decodes clean frames,
+    decisions match full precision on a comfortable-SNR batch (the
+    bench precision mode extended to BP)."""
+    from ldpcsimulation_tpu.channel.awgn import llr_from_channel, snr_to_n0
+    from ldpcsimulation_tpu.decoders.bp_qc import decode_bp_qc
+
+    qc = small_qc
+    sigma = float(snr_to_sigma(5.0, 0.5))
+    n0 = float(snr_to_n0(5.0, 0.5))
+    y = awgn(jax.random.key(7), jnp.ones((64, qc.n)), sigma, dtype=jnp.float32)
+    llr = llr_from_channel(y, n0)
+    r32 = decode_bp_qc(qc, llr, 12, early_termination=True)
+    r16 = decode_bp_qc(
+        qc, llr, 12, early_termination=True, storage_dtype=jnp.float16
+    )
+    h32 = np.asarray(r32.hard)
+    h16 = np.asarray(r16.hard)
+    assert (h16 == h32).mean() > 0.999
+    assert (h16 == 1).all(axis=1).mean() > 0.9
+
+
+def test_bp_generic_f16_bitexact_vs_qc_f16(small_qc, rng):
+    """decode_bp's storage_dtype mirrors decode_bp_qc's rounding points
+    exactly, so the two f16 BP decoders stay bit-identical."""
+    from ldpcsimulation_tpu.decoders.bp import decode_bp
+    from ldpcsimulation_tpu.decoders.bp_qc import decode_bp_qc
+
+    qc = small_qc
+    code = qc.to_code()
+    llr = jnp.asarray(
+        np.clip(rng.normal(0, 3.0, size=(16, qc.n)), -20, 20), jnp.float32
+    )
+    for et in (False, True):
+        r1 = decode_bp(
+            code, llr, 8, early_termination=et, storage_dtype=jnp.float16
+        )
+        r2 = decode_bp_qc(
+            qc, llr, 8, early_termination=et, storage_dtype=jnp.float16
+        )
+        np.testing.assert_array_equal(np.asarray(r1.hard), np.asarray(r2.hard))
+        np.testing.assert_array_equal(
+            np.asarray(r1.iterations), np.asarray(r2.iterations)
+        )
