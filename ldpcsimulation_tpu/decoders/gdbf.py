@@ -73,7 +73,15 @@ PR_LEVELS = (0.0, 0.0625, 0.125, 0.25, 0.34375, 0.4106, 0.68359, 1.0)
 
 @dataclasses.dataclass(frozen=True)
 class GDBFConfig:
-    """Static configuration = the reference's -D flag set + argv scalars."""
+    """Configuration = the reference's -D flag set + argv scalars.
+
+    Registered as a JAX pytree: the flag set and loop bounds are static
+    metadata (they select the compiled program), while the five
+    operating-point scalars (theta, noise_scale, lam, alpha, weight_ymax)
+    are pytree DATA — they may be Python floats (single runs; one compile
+    serves every value) or traced arrays (the distributed operating-point
+    grid runs many parameter points concurrently, each mesh slot reading
+    its own scalars — tools/sweep.py --distributed)."""
 
     num_iterations: int
     theta: float
@@ -107,6 +115,19 @@ class GDBFConfig:
     quantize_probabilities: bool = False
     # redecode (RNGDBF.cpp): number of phases; 1 = plain single decode
     max_phases: int = 1
+
+
+jax.tree_util.register_dataclass(
+    GDBFConfig,
+    data_fields=["theta", "noise_scale", "lam", "alpha", "weight_ymax"],
+    meta_fields=[
+        "num_iterations", "sequential", "mode_switching", "t_switch",
+        "add_noise", "uniform_noise", "noise_shaping",
+        "threshold_adaptation", "weight_syndromes", "legacy_weight",
+        "output_smoothing", "window_size", "quantize_probabilities",
+        "max_phases",
+    ],
+)
 
 
 # The reference Makefile's binary -> flag-set registry
@@ -176,7 +197,7 @@ def _syndrome_sum_per_vn(code: Code, syn: jax.Array) -> jax.Array:
     return jnp.sum(g, axis=1)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "qc", "trace"))
+@functools.partial(jax.jit, static_argnames=("qc", "trace"))
 def decode_gdbf(
     code: Code,
     yq: jax.Array,

@@ -62,8 +62,24 @@ __all__ = [
 ]
 
 
+def _floor_int(x):
+    """floor to int — Python int for plain numbers, int32 array for traced
+    values (the distributed operating-point grid passes w/ymax per mesh
+    slot, so the integer-domain constants derive on-device)."""
+    if isinstance(x, (int, float)):
+        return int(math.floor(x))
+    return jnp.floor(x).astype(jnp.int32)
+
+
 @dataclasses.dataclass(frozen=True)
 class NGDBFHwConfig:
+    """Registered as a JAX pytree: nq/ring_len/loop bounds are static
+    metadata; the operating-point scalars (w, ymax, noise_scale, theta0)
+    are pytree DATA — Python floats for single runs or traced arrays under
+    the distributed operating-point grid (tools/sweep.py --distributed).
+    The derived integer-domain constants (theta_int, smult) follow suit.
+    """
+
     num_iterations: int = 600
     w: float = 0.185
     ymax: float = 1.625
@@ -74,7 +90,7 @@ class NGDBFHwConfig:
     ring_len: int = 2648
 
     @property
-    def lmax(self) -> float:
+    def lmax(self):
         return self.ymax / (2.0 * self.w)
 
     @property
@@ -82,15 +98,22 @@ class NGDBFHwConfig:
         return 2 ** self.nq - 1
 
     @property
-    def theta_int(self) -> int:
+    def theta_int(self):
         """unpack(pack(quantize(2), +1)) — NGDBFhw.cpp:178."""
-        mag = int(math.floor(2.0 * self.nl / (2.0 * self.lmax)))
+        mag = _floor_int(2.0 * self.nl / (2.0 * self.lmax))
         return 2 * mag + 1
 
     @property
-    def smult(self) -> int:
+    def smult(self):
         """round(NL/lmax) — NGDBFhw.cpp:179 (C round: half away from 0)."""
-        return int(math.floor(self.nl / self.lmax + 0.5))
+        return _floor_int(self.nl / self.lmax + 0.5)
+
+
+jax.tree_util.register_dataclass(
+    NGDBFHwConfig,
+    data_fields=["w", "ymax", "noise_scale", "theta0"],
+    meta_fields=["num_iterations", "nq", "max_phases", "ring_len"],
+)
 
 
 def hw_quantize_int(x, nl: float, lmax: float):
@@ -124,7 +147,7 @@ jax.tree_util.register_dataclass(
 )
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "qc"))
+@functools.partial(jax.jit, static_argnames=("qc",))
 def decode_ngdbf_hw(
     code: Code,
     y: jax.Array,

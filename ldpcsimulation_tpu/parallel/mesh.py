@@ -6,7 +6,14 @@ by appending to shared log files (SURVEY §2.6;
 ``C_implementations/scripts/bp_example_PEGReg504x1008.sh:24-28``).  The
 TPU-native replacement is a 2-D device mesh:
 
-  * axis ``"snr"`` — the operating-point grid (the bash loop variable),
+  * axis ``"snr"`` — the operating-point axis.  Each slot runs one point of
+    the experiment grid: an (SNR, decoder-parameter…) tuple.  The point's
+    scalars (sigma plus any decoder parameters) are TRACED per-slot inputs,
+    so one compiled program serves every chunk of an arbitrarily large
+    cartesian grid — the reference's 5-deep nested bash sweeps
+    (``mngdbf_example_PEGReg504x1008.sh:44-59``, ~1300 processes) become
+    chunk rotations of a single XLA executable
+    (:func:`..parallel.montecarlo.simulate_grid`).
   * axis ``"data"`` — the Monte-Carlo frame batch,
 
 with per-device RNG streams derived by folding the device's mesh coordinates
@@ -22,7 +29,7 @@ devices and the psums ride ICI/DCN.
 
 from __future__ import annotations
 
-from typing import Callable, Optional, Sequence
+from typing import Callable, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -36,6 +43,7 @@ __all__ = [
     "init_distributed",
     "make_mesh",
     "make_counters_step",
+    "make_grid_step",
     "BatchCounters",
 ]
 
@@ -82,26 +90,33 @@ def make_mesh(
 BatchCounters = dict
 
 
-def make_counters_step(
+def make_grid_step(
     code: Code,
     decode_fn: Callable,
     mesh: Mesh,
-    sigmas: Sequence[float],
     batch_per_device: int,
     max_iterations: int,
+    param_names: Tuple[str, ...] = (),
     preprocess: Optional[Callable] = None,
     awgn_form: str = "multiplicative",
     dtype=jnp.float32,
     codewords=None,
 ):
-    """Build the jitted distributed Monte-Carlo step.
+    """Build the jitted operating-point-grid Monte-Carlo step.
 
-    decode_fn(samples [b, N], sigma_scalar, key) -> DecodeResult-like with
-    .hard [b, N], .iterations [b], .satisfied [b].
+    The mesh "snr" axis is the operating-point axis: each slot receives its
+    own sigma and its own value of every name in ``param_names`` as TRACED
+    scalars, so the returned step is compiled once and re-invoked with any
+    assignment of grid points to slots (the TPU-native replacement for the
+    reference's one-process-per-parameter-combination bash fan-out).
 
-    Returns step(root_key [uint32 key], bits [S, B_global, N]) ->
-    BatchCounters, where S = len(sigmas) must equal the mesh "snr" axis size
-    and B_global = batch_per_device * mesh.data_size.
+    decode_fn(samples [b, N], sigma_scalar, key, point) -> DecodeResult-like
+    with .hard [b, N], .iterations [b], .satisfied [b]; ``point`` is a dict
+    {name: traced scalar} over param_names.  preprocess(y, point) if given.
+
+    Returns step(root_key, bits [S, B_global, N], sigmas [S],
+    params {name: [S]}, round_idx) -> BatchCounters, where S = the mesh
+    "snr" axis size and B_global = batch_per_device * mesh.data_size.
 
     All statistics are reduced on-device (histograms included) via psum over
     the "data" axis, so the host traffic per step is O(N) regardless of
@@ -109,10 +124,8 @@ def make_counters_step(
     """
     n_snr = mesh.shape["snr"]
     n_data = mesh.shape["data"]
-    if len(sigmas) != n_snr:
-        raise ValueError(f"need {n_snr} sigmas for the snr axis")
-    sigmas_arr = jnp.asarray(list(sigmas), dtype)
     n = code.n
+    param_names = tuple(param_names)
     # int32 error counters cannot overflow as long as the per-step global
     # bit count fits: errors <= bits always
     if batch_per_device * n_data * n > 2**31 - 1:
@@ -122,7 +135,7 @@ def make_counters_step(
         )
     cw = None if codewords is None else jnp.asarray(codewords, jnp.uint8)
 
-    def local_step(root_key, bits, sigma, round_idx):
+    def local_step(root_key, bits, sigma, pvals, round_idx):
         """Runs per device on its [1, b, N] slice of frames."""
         bits = bits[0]  # drop the sharded-to-singleton snr axis
         # per-device RNG stream: fold mesh coordinates into the root key
@@ -131,6 +144,7 @@ def make_counters_step(
         key = jax.random.fold_in(jax.random.fold_in(root_key, si), di)
         kch, kdec = jax.random.split(key)
         sigma = sigma.reshape(())
+        point = {nm: pvals[nm].reshape(()) for nm in param_names}
         if cw is not None:
             # cycle the fixture exactly like the single-device harness:
             # global frame position -> row (mod L), advancing every round
@@ -142,11 +156,10 @@ def make_counters_step(
         y = awgn(kch, x, sigma, form=awgn_form, dtype=dtype)
         r = jnp.where(y > 0, 1, -1).astype(jnp.int32)
         c = x.astype(jnp.int32)
-        inp = preprocess(y) if preprocess is not None else y
-        res = decode_fn(inp, sigma, kdec)
+        inp = preprocess(y, point) if preprocess is not None else y
+        res = decode_fn(inp, sigma, kdec, point)
         frame_errs = jnp.sum(res.hard != c, axis=1).astype(jnp.int32)
         uncoded = jnp.sum(r != c, axis=1).astype(jnp.int32)
-        b = bits.shape[0]
         counters = dict(
             errors=jnp.sum(frame_errs),
             uncoded_errors=jnp.sum(uncoded),
@@ -192,23 +205,82 @@ def make_counters_step(
             jnp.zeros((batch_per_device, n), dtype),
             jnp.asarray(0.5, dtype),
             k,
+            {nm: jnp.zeros((), dtype) for nm in param_names},
         ),
         jax.random.key(0),
     )
     if getattr(probe, "smoothing_used", None) is not None:
         out_specs["smoothing_used"] = P("snr")
 
+    pspec = {nm: P("snr") for nm in param_names}
+
     @jax.jit
-    def step(root_key, bits, round_idx=0):
+    def step(root_key, bits, sigmas, params, round_idx=0):
         out = jax.shard_map(
             local_step,
             mesh=mesh,
-            in_specs=(P(), P("snr", "data"), P("snr"), P()),
+            in_specs=(P(), P("snr", "data"), P("snr"), pspec, P()),
             out_specs=out_specs,
-        )(root_key, bits, sigmas_arr, jnp.asarray(round_idx, jnp.int32))
+        )(
+            root_key,
+            bits,
+            jnp.asarray(sigmas, dtype),
+            {nm: jnp.asarray(params[nm], dtype) for nm in param_names},
+            jnp.asarray(round_idx, jnp.int32),
+        )
         return out
 
     step.batch_global = batch_per_device * n_data
     step.bits_global = batch_per_device * n_data * n
+    step.n_snr = n_snr
+    return step
+
+
+def make_counters_step(
+    code: Code,
+    decode_fn: Callable,
+    mesh: Mesh,
+    sigmas: Sequence[float],
+    batch_per_device: int,
+    max_iterations: int,
+    preprocess: Optional[Callable] = None,
+    awgn_form: str = "multiplicative",
+    dtype=jnp.float32,
+    codewords=None,
+):
+    """Fixed-operating-point wrapper over :func:`make_grid_step`.
+
+    decode_fn(samples [b, N], sigma_scalar, key) -> DecodeResult-like with
+    .hard [b, N], .iterations [b], .satisfied [b].
+
+    Returns step(root_key [uint32 key], bits [S, B_global, N]) ->
+    BatchCounters, where S = len(sigmas) must equal the mesh "snr" axis size
+    and B_global = batch_per_device * mesh.data_size.  Counters are
+    bit-identical to the grid step's (same RNG fold order, same ops).
+    """
+    n_snr = mesh.shape["snr"]
+    if len(sigmas) != n_snr:
+        raise ValueError(f"need {n_snr} sigmas for the snr axis")
+    sigmas_arr = jnp.asarray(list(sigmas), dtype)
+    gstep = make_grid_step(
+        code,
+        lambda y, sigma, key, point: decode_fn(y, sigma, key),
+        mesh,
+        batch_per_device=batch_per_device,
+        max_iterations=max_iterations,
+        param_names=(),
+        preprocess=(
+            None if preprocess is None else (lambda y, point: preprocess(y))
+        ),
+        awgn_form=awgn_form,
+        dtype=dtype,
+        codewords=codewords,
+    )
+
+    def step(root_key, bits, round_idx=0):
+        return gstep(root_key, bits, sigmas_arr, {}, round_idx)
+
+    step.batch_global = gstep.batch_global
+    step.bits_global = gstep.bits_global
     step.n_snr = n_snr
     return step

@@ -23,9 +23,135 @@ import numpy as np
 from ..channel.awgn import snr_to_sigma
 from ..codes.code import Code
 from ..harness.montecarlo import MCStats, StopRule, default_min_word_errors
-from .mesh import make_counters_step
+from .mesh import make_counters_step, make_grid_step
 
-__all__ = ["simulate_distributed", "measure_scaling_efficiency"]
+__all__ = [
+    "simulate_distributed",
+    "simulate_grid",
+    "measure_scaling_efficiency",
+]
+
+
+def _accumulate(s: MCStats, out: dict, i: int, batch_global: int,
+                bits_global: int) -> None:
+    """Fold slot ``i`` of one step's psum-reduced counters into ``s``."""
+    s.errors += int(out["errors"][i])
+    s.uncoded_errors += int(out["uncoded_errors"][i])
+    s.word_errors += int(out["word_errors"][i])
+    # frame/bit totals are deterministic per step (int32-overflow-safe
+    # accumulation happens here on the host, in Python ints)
+    s.total_words += batch_global
+    s.total_bits += bits_global
+    s.total_iterations += int(out["iteration_sum"][i])
+    s.satisfied_words += int(out["satisfied_words"][i])
+    # hist[0] of the on-device error-weight histogram counts error-free
+    # frames; the MCStats histogram indexes weight w-1
+    s.error_weight_hist += np.asarray(out["error_weight_hist"][i][1:],
+                                      np.int64)
+    s.iteration_hist += np.asarray(out["iteration_hist"][i], np.int64)
+    if "smoothing_used" in out:
+        s.extra["smoothing_used"] = s.extra.get("smoothing_used", 0) + int(
+            out["smoothing_used"][i]
+        )
+
+
+def simulate_grid(
+    code: Code,
+    decode_fn: Callable,
+    points: Sequence[dict],
+    mesh,
+    max_iterations: int,
+    rate: Optional[float] = None,
+    stop: Optional[StopRule] = None,
+    batch_per_device: int = 512,
+    seed: int = 0,
+    preprocess: Optional[Callable] = None,
+    param_names: Sequence[str] = (),
+    max_rounds: int = 100000,
+    verbose: bool = False,
+    codewords=None,
+) -> List[MCStats]:
+    """Run an arbitrary operating-point grid through one compiled step.
+
+    This is the whole-grid replacement for the reference's
+    one-process-per-parameter-combination bash fan-out
+    (``mngdbf_example_PEGReg504x1008.sh:44-59`` — ~1300 concurrent
+    processes): the full cartesian grid is scheduled in chunks of S points
+    (S = the mesh operating-point axis size) over ONE jitted step whose
+    per-slot sigma and decoder scalars are traced inputs — no recompile
+    between chunks, adaptive per-point stopping, psum-reduced statistics.
+
+    points: dicts with key "snr" plus every name in ``param_names``.
+    decode_fn(y [b,N], sigma, key, point) with ``point`` a dict of traced
+    scalars; preprocess(y, point) if given.
+
+    Scheduling: each round fills the S mesh slots with the unfinished
+    points (cycling — a point may occupy several slots, which simply adds
+    statistical precision; slot RNG streams are decorrelated by the mesh
+    coordinate fold).  Points leave the rotation when the stop rule passes
+    on their accumulated counters.  Returns one MCStats per input point
+    (wall_seconds is the shared grid time).
+    """
+    rate = code.rate if rate is None else rate
+    stop = stop or StopRule(min_word_errors=default_min_word_errors(code.n))
+    if max_iterations <= 0:
+        raise ValueError("max_iterations must bound the decoder's T")
+    param_names = tuple(param_names)
+    for p in points:
+        missing = {"snr", *param_names} - set(p)
+        if missing:
+            raise ValueError(f"grid point {p} missing {sorted(missing)}")
+    step = make_grid_step(
+        code,
+        decode_fn,
+        mesh,
+        batch_per_device=batch_per_device,
+        max_iterations=max_iterations,
+        param_names=param_names,
+        preprocess=preprocess,
+        codewords=codewords,
+    )
+    n_slots = mesh.shape["snr"]
+    sigma_of = [float(snr_to_sigma(p["snr"], rate)) for p in points]
+    stats = [MCStats(n=code.n) for _ in points]
+    for s in stats:
+        s.iteration_hist = np.zeros(max_iterations + 1, np.int64)
+
+    root = jax.random.key(seed)
+    bits = jnp.zeros((n_slots, step.batch_global, code.n), jnp.uint8)
+    pending = list(range(len(points)))
+    t0 = time.perf_counter()
+    for round_idx in range(max_rounds):
+        if not pending:
+            break
+        # fill the S slots by cycling the unfinished points
+        slots = [pending[i % len(pending)] for i in range(n_slots)]
+        sigmas = np.asarray([sigma_of[i] for i in slots], np.float32)
+        params = {
+            nm: np.asarray([float(points[i][nm]) for i in slots], np.float32)
+            for nm in param_names
+        }
+        out = jax.device_get(
+            step(jax.random.fold_in(root, round_idx), bits, sigmas, params,
+                 round_idx)
+        )
+        for slot, pi in enumerate(slots):
+            _accumulate(stats[pi], out, slot, step.batch_global,
+                        step.bits_global)
+        pending = [
+            i for i in pending
+            if not stop.done(stats[i].errors, stats[i].word_errors,
+                             stats[i].total_words)
+        ]
+        if verbose:
+            print(
+                f"round {round_idx}: {len(points) - len(pending)}/"
+                f"{len(points)} points done"
+            )
+    dt = time.perf_counter() - t0
+    for s in stats:
+        s.wall_seconds = dt
+    return stats
 
 
 def simulate_distributed(
@@ -84,25 +210,7 @@ def simulate_distributed(
             step(jax.random.fold_in(root, batch_idx), bits, batch_idx)
         )
         for i, s in enumerate(stats):
-            s.errors += int(out["errors"][i])
-            s.uncoded_errors += int(out["uncoded_errors"][i])
-            s.word_errors += int(out["word_errors"][i])
-            # frame/bit totals are deterministic per step (int32-overflow-
-            # safe accumulation happens here on the host, in Python ints)
-            s.total_words += step.batch_global
-            s.total_bits += step.bits_global
-            s.total_iterations += int(out["iteration_sum"][i])
-            s.satisfied_words += int(out["satisfied_words"][i])
-            # hist[0] of the on-device error-weight histogram counts
-            # error-free frames; the MCStats histogram indexes weight w-1
-            s.error_weight_hist += np.asarray(
-                out["error_weight_hist"][i][1:], np.int64
-            )
-            s.iteration_hist += np.asarray(out["iteration_hist"][i], np.int64)
-            if "smoothing_used" in out:
-                s.extra["smoothing_used"] = s.extra.get(
-                    "smoothing_used", 0
-                ) + int(out["smoothing_used"][i])
+            _accumulate(s, out, i, step.batch_global, step.bits_global)
         if verbose:
             line = " ".join(
                 f"{snrs_db[i]}dB:{stats[i].ber:.3g}" for i in range(n_snr)

@@ -107,8 +107,11 @@ def build_parser() -> argparse.ArgumentParser:
                    default="flooding",
                    help="min-sum schedule (layered needs a QC --code)")
     p.add_argument("--distributed", action="store_true",
-                   help="run all SNR points concurrently on the device "
-                        "mesh (snr x data) with psum-reduced statistics")
+                   help="run the FULL operating-point grid (SNR x every "
+                        "multi-valued decoder parameter) concurrently on "
+                        "the device mesh with psum-reduced statistics — "
+                        "one compiled step, chunk rotations, adaptive "
+                        "per-point stopping")
     p.add_argument("--rate", type=float, help="code rate R (default k/n)")
     p.add_argument("--snr", required=True, help="Eb/N0 grid 'a:b:step' dB")
     p.add_argument("-T", "--iterations", type=int, required=True)
@@ -547,68 +550,66 @@ def main(argv: Optional[List[str]] = None) -> int:
 def _run_distributed(
     args, code, qc, alist_name, snrs, rate, stop, T, codewords=None
 ):
-    """--distributed: all SNR points concurrently on the (snr x data) mesh.
+    """--distributed: the FULL operating-point grid, concurrently on the
+    device mesh.
 
-    The mesh snr axis must equal len(snrs) and divide the device count
-    (e.g. 2 points on an 8-device mesh -> 4 data shards per point).
-    The SNR grid is the mesh axis; the other parameters take exactly ONE
-    value per invocation (a cartesian parameter grid needs one launch per
-    combination — erroring beats silently dropping grid points).
+    The mesh "snr" axis is a generic operating-point axis: each slot runs
+    one (SNR, parameter…) tuple of the cartesian grid, with the decoder
+    scalars (θ, λ, α, Ymax, noiseScale, w, θ0, quantizer Ymax/Nq) as
+    TRACED per-slot inputs — ONE compiled step serves the whole grid in
+    chunk rotations with adaptive per-point stopping
+    (:func:`..parallel.montecarlo.simulate_grid`).  This replaces the
+    reference's one-process-per-parameter-combination bash fan-out
+    (``mngdbf_example_PEGReg504x1008.sh:44-59`` — a 2×4×6×9×3 = 1296-
+    process sweep) with a single launch producing per-point log rows
+    identical to single-device runs.
     """
+    import dataclasses as _dc
+    import itertools as _it
+
     import jax
 
     from ..parallel.mesh import make_mesh
-    from ..parallel.montecarlo import simulate_distributed
+    from ..parallel.montecarlo import simulate_grid
 
     if args.schedule == "layered":
         raise SystemExit(
             "sweep: error: --schedule layered is not supported with "
             "--distributed (run it single-device)"
         )
-    multi = [
-        name
-        for name, vals in [
-            ("--ymax", args.ymax), ("--nq", args.nq),
-            ("--alpha", args.alpha), ("--delta", args.delta),
-            ("--theta", args.theta), ("--noise-scale", args.noise_scale),
-            ("--lam", args.lam), ("--w", args.w), ("--theta0", args.theta0),
-        ]
-        if len(vals) > 1
-    ]
-    if multi:
-        raise SystemExit(
-            f"sweep: error: --distributed runs one value per parameter; "
-            f"{', '.join(multi)} given multiple values (the SNR grid is "
-            "the distributed axis — launch once per parameter combination)"
-        )
+
+    # Full cartesian grid in the SAME field order (and therefore the same
+    # --resume keys) as the single-device route.
+    fields = ("snr", "ymax", "nq", "alpha", "delta", "theta",
+              "noise_scale", "lam", "w", "theta0")
+    grid = list(_it.product(
+        snrs, args.ymax, args.nq, args.alpha, args.delta,
+        args.theta, args.noise_scale, args.lam, args.w, args.theta0,
+    ))
     if args.resume:
-        point = (
-            args.ymax[0], args.nq[0], args.alpha[0], args.delta[0],
-            args.theta[0], args.noise_scale[0], args.lam[0], args.w[0],
-            args.theta0[0],
-        )
         done = set()
         try:
             with open(args.log + ".done") as f:
                 done.update(line.rstrip("\n") for line in f)
         except FileNotFoundError:
             pass
-        snrs = [s for s in snrs if _grid_key((s,) + point) not in done]
-        if not snrs:
+        grid = [pt for pt in grid if _grid_key(pt) not in done]
+        if not grid:
             print("sweep: all points already done", file=sys.stderr)
             return 0
 
     nd = len(jax.devices())
-    if nd % len(snrs):
-        raise SystemExit(
-            f"sweep: error: --distributed needs len(snrs)={len(snrs)} to "
-            f"divide the device count ({nd})"
-        )
-    mesh = make_mesh(n_snr=len(snrs))
 
     if args.decoder == "nbqspa":
+        # NB path: SNR-only grid through its own driver (unchanged).
         from ..parallel.montecarlo_nb import simulate_nb_distributed
 
+        if nd % len(snrs):
+            raise SystemExit(
+                f"sweep: error: --distributed nbqspa needs "
+                f"len(snrs)={len(snrs)} to divide the device count ({nd})"
+            )
+        mesh = make_mesh(n_snr=len(snrs))
         nb_stats = simulate_nb_distributed(
             code, snrs, mesh, T, rate=rate, stop=stop,
             batch_per_device=args.batch, seed=args.seed,
@@ -627,177 +628,267 @@ def _run_distributed(
             )
         return 0
 
+    # Per-decoder wiring: which grid fields become per-point traced
+    # scalars (with their defaults), the decode/preprocess closures over
+    # the traced point dict, and the per-point log-row builder.  A
+    # multi-valued parameter the decoder cannot consume per-point is a
+    # configuration error — erroring beats silently dropping grid points.
+    multi = {
+        nm: vals for nm, vals in zip(fields[1:], (
+            args.ymax, args.nq, args.alpha, args.delta, args.theta,
+            args.noise_scale, args.lam, args.w, args.theta0,
+        )) if len(vals) > 1
+    }
+
+    def _reject_unsweepable(sweepable):
+        bad = sorted(set(multi) - set(sweepable))
+        if bad:
+            raise SystemExit(
+                f"sweep: error: --distributed {args.decoder} cannot sweep "
+                f"{', '.join('--' + b.replace('_', '-') for b in bad)} "
+                "per-point (not an operating-point scalar of this decoder)"
+            )
+
+    max_it = T
+
+    defaults = {}
     if args.decoder == "bp":
+        _reject_unsweepable(())
+        param_names = ()
         bp_sdt = jnp.float16 if args.msg_dtype == "f16" else None
 
-        def dec(y, sigma, key):
-            from ..decoders.bp import decode_bp
-
+        def dec(y, sigma, key, point):
             n0 = 2.0 * sigma * sigma
             return decode_bp(
                 code, jnp.clip(4.0 * y / n0, -20.0, 20.0), T,
                 early_termination=args.early_termination,
                 storage_dtype=bp_sdt,
             )
+
+        preprocess = None
+
+        def row_fn(snr, st, pt):
+            return bp_log_row(snr, st, T, alist_name)
+
     elif args.decoder in ("minsum", "offsetminsum", "normalizedminsum"):
         variant = {"minsum": "plain", "offsetminsum": "offset",
                    "normalizedminsum": "normalized"}[args.decoder]
-        alpha = args.alpha[0] if args.alpha[0] is not None else 1.0
-        delta = args.delta[0] if args.delta[0] is not None else 0.0
         sdt = jnp.float16 if args.msg_dtype == "f16" else None
-        # same channel as the non-distributed route: the quantized
-        # variants run through quantize_no_zero(ymax, nq)
-        ms_ymax = ms_nq = None
-        preprocess = None
-        if variant != "plain":
-            ms_ymax = args.ymax[0] if args.ymax[0] is not None else 2.0
-            ms_nq = args.nq[0] if args.nq[0] is not None else 8.0
-            preprocess = lambda y: quantize_no_zero(y, ms_ymax, ms_nq)
+        if variant == "plain":
+            _reject_unsweepable(())
+            param_names = ()
+            preprocess = None
 
-        def dec(y, sigma, key):
-            return decode_minsum(
-                code, y, T, variant=variant, alpha=alpha, delta=delta,
-                early_termination=args.early_termination,
-                storage_dtype=sdt,
+            def dec(y, sigma, key, point):
+                return decode_minsum(
+                    code, y, T,
+                    early_termination=args.early_termination,
+                    storage_dtype=sdt,
+                )
+        else:
+            param_names = ("ymax", "nq", "alpha", "delta")
+            _reject_unsweepable(param_names)
+
+            def preprocess(y, point):
+                return quantize_no_zero(y, point["ymax"], point["nq"])
+
+            def dec(y, sigma, key, point):
+                return decode_minsum(
+                    code, y, T, variant=variant,
+                    alpha=point["alpha"], delta=point["delta"],
+                    early_termination=args.early_termination,
+                    storage_dtype=sdt,
+                )
+
+        defaults = dict(ymax=2.0, nq=8.0, alpha=1.0, delta=0.0)
+
+        def row_fn(snr, st, pt):
+            return minsum_log_row(
+                snr, st, T, alist_name,
+                ymax=pt["ymax"] if variant != "plain" else None,
+                alpha=pt["alpha"] if variant == "normalized" else None,
+                delta=pt["delta"] if variant == "offset" else None,
             )
+
     elif args.decoder == "gdbf":
+        from ..channel.quantize import quantize_round as _qr
         from ..channel.quantize import saturate as _sat
         from ..decoders.gdbf import preset as _preset
+        from ..decoders.dense_ops import DenseGraph, dense_worthwhile
 
-        cfg = _preset(
-            args.preset, num_iterations=T,
-            theta=args.theta[0] if args.theta[0] is not None else -0.9,
+        param_names = ("theta", "noise_scale", "lam", "alpha")
+        sat_on = args.ymax[0] is not None
+        if sat_on:
+            param_names = param_names + ("ymax",)
+        _reject_unsweepable(param_names)
+        if len(args.nq) > 1:
+            raise SystemExit(
+                "sweep: error: --distributed gdbf cannot sweep --nq "
+                "(quantizer bit-width is structural)"
+            )
+        gd_nq = args.nq[0]
+        base_cfg = _preset(
+            args.preset, num_iterations=T, theta=-0.9,
             **{k: v for k, v in dict(
-                noise_scale=args.noise_scale[0],
-                lam=args.lam[0],
-                alpha=args.alpha[0],
                 window_size=args.window,
                 max_phases=args.max_phases,
                 uniform_noise=args.uniform_noise or None,
             ).items() if v is not None},
         )
-        ymax = args.ymax[0]
-        from ..decoders.dense_ops import DenseGraph, dense_worthwhile
-
+        max_it = T * base_cfg.max_phases
         dense = (
             DenseGraph.from_code(code)
             if qc is None and dense_worthwhile(code)
             else None
         )
 
-        def dec(y, sigma, key):
-            yq = _sat(y, ymax) if ymax is not None else y
-            return decode_gdbf(
-                code, yq, sigma, cfg, key=key, qc=qc, dense=dense
+        def preprocess(y, point):
+            out = y
+            if sat_on:
+                out = _sat(out, point["ymax"])
+            if gd_nq is not None:
+                out = _qr(
+                    out,
+                    point["ymax"] if sat_on else 2.25,
+                    int(gd_nq),
+                )
+            return out
+
+        if not sat_on and gd_nq is None:
+            preprocess = None
+
+        def dec(y, sigma, key, point):
+            cfg = _dc.replace(
+                base_cfg, theta=point["theta"],
+                noise_scale=point["noise_scale"], lam=point["lam"],
+                alpha=point["alpha"],
             )
+            return decode_gdbf(
+                code, y, sigma, cfg, key=key, qc=qc, dense=dense
+            )
+
+        defaults = dict(
+            theta=-0.9, noise_scale=base_cfg.noise_scale,
+            lam=base_cfg.lam, alpha=base_cfg.alpha, ymax=None,
+        )
+
+        def row_fn(snr, st, pt):
+            c = base_cfg
+            return gdbf_log_row(
+                snr, st, T, pt["theta"], alist_name,
+                noise_scale=pt["noise_scale"]
+                if c.add_noise or c.quantize_probabilities
+                else None,
+                nq=int(gd_nq) if gd_nq is not None else None,
+                lam=pt["lam"] if c.threshold_adaptation else None,
+                alpha=pt["alpha"] if c.weight_syndromes else None,
+                smoothing_used=int(st.extra.get("smoothing_used", 0))
+                if c.output_smoothing else None,
+                window_size=c.window_size if c.output_smoothing else None,
+                ymax=pt["ymax"] if sat_on else None,
+            )
+
     elif args.decoder == "ddbmp":
         from ..channel.quantize import quantize_no_zero as _qnz
 
-        ym = args.ymax[0] if args.ymax[0] is not None else 1.5
-        nql = args.nq[0] if args.nq[0] is not None else 8.0
+        param_names = ("ymax", "nq")
+        _reject_unsweepable(param_names)
 
-        def dec(y, sigma, key):
+        def preprocess(y, point):
+            return quantize_no_zero(y, point["ymax"], point["nq"])
+
+        def dec(y, sigma, key, point):
             if qc is not None:
-                return decode_ddbmp_qc(qc, _qnz(y, ym, nql), T)
-            return decode_ddbmp(code, _qnz(y, ym, nql), T)
+                return decode_ddbmp_qc(qc, y, T)
+            return decode_ddbmp(code, y, T)
+
+        defaults = dict(ymax=1.5, nq=8.0)
+
+        def row_fn(snr, st, pt):
+            return minsum_log_row(snr, st, T, alist_name, ymax=pt["ymax"])
+
     elif args.decoder == "ngdbfhw":
         from ..decoders.dense_ops import DenseGraph, dense_worthwhile
 
+        param_names = ("w", "ymax", "noise_scale", "theta0")
+        _reject_unsweepable(param_names)
         # Same fixed-frame-count semantics as the non-distributed route
         # (NGDBFhw.cpp:193): --frames overrides the error-count stop rule
         # so distributed and single-device runs are statistically
         # comparable.
         stop = StopRule.fixed_frames(args.frames)
-        hw_cfg = NGDBFHwConfig(
+        hw_base = NGDBFHwConfig(
             num_iterations=T,
-            w=args.w[0] if args.w[0] is not None else 0.185,
-            ymax=args.ymax[0] if args.ymax[0] is not None else 1.625,
-            noise_scale=(
-                args.noise_scale[0]
-                if args.noise_scale[0] is not None
-                else 0.95
-            ),
-            theta0=args.theta0[0] if args.theta0[0] is not None else -0.525,
             max_phases=args.max_phases or 1,
             ring_len=max(2648, code.n + 600),
         )
+        max_it = T * hw_base.max_phases
         hw_dense = (
             DenseGraph.from_code(code)
             if qc is None and dense_worthwhile(code)
             else None
         )
 
-        def dec(y, sigma, key):
-            return decode_ngdbf_hw(
-                code, y, sigma, hw_cfg, key=key, dense=hw_dense, qc=qc
+        def dec(y, sigma, key, point):
+            cfg = _dc.replace(
+                hw_base, w=point["w"], ymax=point["ymax"],
+                noise_scale=point["noise_scale"], theta0=point["theta0"],
             )
+            return decode_ngdbf_hw(
+                code, y, sigma, cfg, key=key, dense=hw_dense, qc=qc
+            )
+
+        preprocess = None
+        defaults = dict(
+            w=0.185, ymax=1.625, noise_scale=0.95, theta0=-0.525
+        )
+
+        def row_fn(snr, st, pt):
+            return ngdbfhw_log_row(
+                snr, st, T, pt["theta0"], pt["noise_scale"], pt["w"],
+                pt["ymax"], hw_base.nq, hw_base.max_phases, args.seed,
+            )
+
     else:
         raise SystemExit(
             "sweep: error: --distributed supports bp, min-sum variants, "
             "gdbf, ddbmp, ngdbfhw, and nbqspa"
         )
 
-    if args.decoder not in ("minsum", "offsetminsum", "normalizedminsum"):
-        preprocess = None
-    # iteration counts accumulate across redecode phases (GDBF/NGDBFhw):
-    # size the on-device histogram for the full budget or late frames
-    # silently vanish from iteration_hist
-    max_it = T
-    if args.decoder == "gdbf":
-        max_it = T * cfg.max_phases
-    elif args.decoder == "ngdbfhw":
-        max_it = T * hw_cfg.max_phases
-    stats_list = simulate_distributed(
-        code, dec, snrs_db=snrs, mesh=mesh, rate=rate, stop=stop,
-        batch_per_device=args.batch, max_iterations=max_it, seed=args.seed,
-        preprocess=preprocess, codewords=codewords,
+    # grid tuples -> per-point parameter dicts (defaults fill Nones)
+    points = []
+    for pt in grid:
+        vals = dict(zip(fields, pt))
+        point = {"snr": vals["snr"]}
+        for nm in param_names:
+            v = vals[nm]
+            point[nm] = float(defaults[nm] if v is None else v)
+        points.append(point)
+
+    # Every device is an operating-point slot; simulate_grid cycles the
+    # unfinished points over the slots, so any grid size works on any
+    # device count (no divisibility requirement).
+    mesh = make_mesh(n_snr=nd)
+    stats_list = simulate_grid(
+        code, dec, points, mesh, max_iterations=max_it, rate=rate,
+        stop=stop, batch_per_device=args.batch, seed=args.seed,
+        preprocess=preprocess, param_names=param_names,
+        codewords=codewords, verbose=args.verbose,
     )
-    for snr, st in zip(snrs, stats_list):
-        if args.decoder == "bp":
-            row = bp_log_row(snr, st, T, alist_name)
-        elif args.decoder == "gdbf":
-            # identical column layout to the non-distributed route
-            # (logging.py: bracketed fields present iff feature enabled)
-            row = gdbf_log_row(
-                snr, st, T, cfg.theta, alist_name,
-                noise_scale=cfg.noise_scale
-                if cfg.add_noise or cfg.quantize_probabilities
-                else None,
-                nq=int(args.nq[0]) if args.nq[0] is not None else None,
-                lam=cfg.lam if cfg.threshold_adaptation else None,
-                alpha=cfg.alpha if cfg.weight_syndromes else None,
-                smoothing_used=int(st.extra.get("smoothing_used", 0))
-                if cfg.output_smoothing else None,
-                window_size=cfg.window_size
-                if cfg.output_smoothing else None,
-                ymax=args.ymax[0],
-            )
-        elif args.decoder == "ddbmp":
-            row = minsum_log_row(snr, st, T, alist_name, ymax=ym)
-        elif args.decoder == "ngdbfhw":
-            row = ngdbfhw_log_row(
-                snr, st, T, hw_cfg.theta0, hw_cfg.noise_scale, hw_cfg.w,
-                hw_cfg.ymax, hw_cfg.nq, hw_cfg.max_phases, args.seed,
-            )
-        else:
-            row = minsum_log_row(
-                snr, st, T, alist_name,
-                ymax=ms_ymax,
-                alpha=alpha if variant == "normalized" else None,
-                delta=delta if variant == "offset" else None,
-            )
-        append_row(args.log, row)
+    for pt, point, st in zip(grid, points, stats_list):
+        snr = point["snr"]
+        append_row(args.log, row_fn(snr, st, point))
         print(
-            f"SNR={snr} BER={st.ber:.4g} FER={st.fer:.4g} "
-            f"frames={st.total_words}",
+            f"SNR={snr} "
+            + " ".join(
+                f"{nm}={point[nm]:g}" for nm in param_names
+            )
+            + (" " if param_names else "")
+            + f"BER={st.ber:.4g} FER={st.fer:.4g} frames={st.total_words}",
             file=sys.stderr,
         )
         if args.resume:
-            _mark_done(args.log, _grid_key((
-                snr, args.ymax[0], args.nq[0], args.alpha[0], args.delta[0],
-                args.theta[0], args.noise_scale[0], args.lam[0], args.w[0],
-                args.theta0[0],
-            )))
+            _mark_done(args.log, _grid_key(pt))
     return 0
 
 

@@ -244,3 +244,83 @@ def test_simulate_distributed_smoothing_counter(pcode):
         batch_per_device=8, max_iterations=20, seed=3,
     )
     assert "smoothing_used" in stats[0].extra
+
+
+def test_grid_step_params_match_baked(pcode):
+    """make_grid_step with traced per-slot decoder scalars is counter-
+    bit-identical to make_counters_step with the same scalars baked in as
+    Python constants (same RNG fold order, same arithmetic) — the
+    correctness core of the distributed operating-point grid."""
+    from ldpcsimulation_tpu.parallel.mesh import make_grid_step
+
+    mesh = make_mesh(n_snr=2)
+    sigmas = [0.7, 0.7]
+    alphas = [1.0, 1.5]
+    gstep = make_grid_step(
+        pcode,
+        lambda y, sigma, key, point: decode_minsum(
+            pcode, y, 8, variant="normalized", alpha=point["alpha"],
+            early_termination=True,
+        ),
+        mesh, batch_per_device=8, max_iterations=8, param_names=("alpha",),
+    )
+    bits = jnp.zeros((2, gstep.batch_global, pcode.n), jnp.uint8)
+    out_g = jax.device_get(
+        gstep(jax.random.key(11), bits, np.asarray(sigmas, np.float32),
+              {"alpha": np.asarray(alphas, np.float32)})
+    )
+    for slot, alpha in enumerate(alphas):
+        baked = make_counters_step(
+            pcode,
+            lambda y, sigma, key, a=alpha: decode_minsum(
+                pcode, y, 8, variant="normalized", alpha=a,
+                early_termination=True,
+            ),
+            mesh, sigmas=sigmas, batch_per_device=8, max_iterations=8,
+        )
+        out_b = jax.device_get(baked(jax.random.key(11), bits))
+        for k in out_g:
+            np.testing.assert_array_equal(
+                np.asarray(out_g[k][slot]), np.asarray(out_b[k][slot]),
+                err_msg=f"slot {slot} key {k}",
+            )
+    # the two alphas genuinely produce different statistics
+    assert int(out_g["errors"][0]) != int(out_g["errors"][1])
+
+
+def test_simulate_grid_cycles_points_over_slots(pcode):
+    """simulate_grid handles grids larger AND smaller than the slot count:
+    every point reaches its stop rule, and duplicated slots only add
+    statistical precision (total_words is a multiple of the per-slot
+    batch)."""
+    from ldpcsimulation_tpu.parallel.montecarlo import simulate_grid
+
+    mesh = make_mesh(n_snr=4)  # 4 op slots x 2 data shards
+    points = [
+        {"snr": s, "alpha": a}
+        for s in (1.0, 4.0)
+        for a in (1.0, 1.25, 1.5)
+    ]  # 6 points on 4 slots
+    stats = simulate_grid(
+        pcode,
+        lambda y, sigma, key, point: decode_minsum(
+            pcode, y, 8, variant="normalized", alpha=point["alpha"],
+            early_termination=True,
+        ),
+        points, mesh, max_iterations=8,
+        stop=StopRule(min_bit_errors=20, min_word_errors=2,
+                      max_frames=2048),
+        batch_per_device=16, seed=3, param_names=("alpha",),
+    )
+    assert len(stats) == 6
+    per_slot = 16 * 2  # batch_per_device * data axis
+    for s in stats:
+        assert s.total_words > 0 and s.total_words % per_slot == 0
+        assert (s.errors >= 20 and s.word_errors >= 2) or (
+            s.total_words >= 2048
+        )
+        weighted = (np.arange(1, pcode.n + 1) * s.error_weight_hist).sum()
+        assert weighted == s.errors
+        assert s.iteration_hist.sum() == s.total_words
+    # SNR dominates: all 1 dB points worse than all 4 dB points
+    assert min(st.ber for st in stats[:3]) > max(st.ber for st in stats[3:])
