@@ -128,6 +128,44 @@ class MCStats:
         tail = self.iteration_hist[::-1].cumsum()[::-1]
         return tail / self.total_words
 
+    def iteration_cdf_biased(self, seed: int = 0) -> np.ndarray:
+        """The reference's OWN running-mean itdist estimator, bias included
+        (``NGDBFhw.cpp:419-421``): after frame ``w`` with completion time
+        ``L``, only entries ``idx <= L`` are updated —
+        ``itdist[idx] = ((w-1)/w)·itdist[idx] + 1/w`` — so entries past a
+        frame's completion are never decayed and the tail is inflated
+        (reproduction in docs/VALIDATION.md).  This compat estimator
+        replays that exact recurrence over this run's per-frame iteration
+        counts so archived reference ``*_itdist.dat`` files diff directly
+        against ours.  The recurrence is frame-order dependent; the batched
+        harness retains counts as a histogram, so the replay uses a
+        deterministic shuffle (``seed``) of the frame multiset — the same
+        exchangeable-arrival model as the reference's own random decode
+        order.  :meth:`iteration_cdf` remains the unbiased estimator.
+        """
+        if self.iteration_hist is None or self.total_words == 0:
+            return np.zeros(0)
+        counts = np.asarray(self.iteration_hist, np.int64)
+        ls = np.repeat(np.arange(len(counts)), counts)
+        ls = np.random.default_rng(seed).permutation(ls)
+        return itdist_biased_sequence(ls, len(counts))
+
+
+def itdist_biased_sequence(ls, length: int) -> np.ndarray:
+    """The reference's itdist recurrence over an explicit frame sequence.
+
+    ``NGDBFhw.cpp:419-421`` verbatim: after the ``w``-th frame with
+    completion time ``L``, ``itdist[idx] = ((w-1)/w)·itdist[idx] + 1/w``
+    for ``idx <= L`` only — entries past a frame's completion are never
+    touched, so each entry equals ``1 - Π(1 - 1/w_f)`` over the frames
+    that updated it (bit-exact C parity is tested against a compiled
+    replica of the reference loop).
+    """
+    itdist = np.zeros(length, np.float64)
+    for w, l in enumerate(ls, 1):
+        itdist[: l + 1] = ((w - 1.0) / w) * itdist[: l + 1] + 1.0 / w
+    return itdist
+
     def incremental_report(self) -> str:
         """Reference-style console line (decodeMinSum.cpp:291-297)."""
         lines = [

@@ -94,11 +94,17 @@ def main(argv: Optional[List[str]] = None) -> int:
     # reads+writes, gather index reads, syndrome arrays, channel terms);
     # achieved GB/s = frames × iters × bytes / time.  For early-terminating
     # decoders `iters` is the cap, so those rows report an UPPER bound
-    # (printed "≤").  Peak is the v5e HBM figure.
+    # (printed "≤").  Peak is the v5e HBM figure.  MXU rows (one-hot
+    # einsum / dense-matmul interleavers) additionally carry an analytical
+    # FLOP model; their utilization against the bf16 MXU peak is reported
+    # in the notes below the table (VERDICT r2 #3).
     PEAK_HBM = 819e9  # bytes/s, TPU v5e
+    PEAK_MXU = 197e12  # bf16 FLOP/s, TPU v5e
+    mxu_notes = []
 
     def record(label, code_n, info_k, step_fn, frames, iters,
-               bytes_per_frame_iter=None, early_term=False):
+               bytes_per_frame_iter=None, early_term=False,
+               flops_per_frame_iter=None):
         if args.only and args.only.lower() not in label.lower():
             return
         step = step_fn()
@@ -128,6 +134,15 @@ def main(argv: Optional[List[str]] = None) -> int:
             if gbps
             else ""
         )
+        if flops_per_frame_iter:
+            tflops = frames * iters * flops_per_frame_iter / dt
+            pre = "≤" if early_term else ""
+            mxu_notes.append(
+                f"- {label}: {pre}{tflops/1e12:.1f} MXU TFLOP/s "
+                f"({pre}{100*tflops/PEAK_MXU:.0f}% of bf16 peak) from "
+                f"{flops_per_frame_iter/1e6:.2f} MFLOP/frame/iteration"
+            )
+            extra += f", {pre}{tflops/1e12:.1f} TFLOP/s MXU"
         print(
             f"{label}: {dt*1e3:.0f} ms, {bits/1e6:.1f} Mb/s{extra}",
             file=sys.stderr,
@@ -201,16 +216,34 @@ def main(argv: Optional[List[str]] = None) -> int:
 
         sc_real = _detect_strat(_load_alist2(_REAL_802_3_ALIST))
         if sc_real is not None:
-            step, frames = mega(16384, 2, lambda k, b: jnp.sum(
+            b_strat = 16384
+            step, frames = mega(b_strat, 2, lambda k, b: jnp.sum(
                 _dec_strat(
                     sc_real,
                     awgn(k, jnp.ones((b, sc_real.n), jnp.float32), sigma_r),
                     10, storage_dtype=jnp.float16,
                 ).hard != 1))
+            # Stratified traffic model: per frame per iteration the VN
+            # slot grids [mb,kg,w] move twice in storage dtype (v2c
+            # read + store) and twice in the f32 einsum/extrinsic domain
+            # (c2v write + read); the CN slot grids [mb,h,kg] move 4x in
+            # f32 (einsum out, CN-scan in, c2v out, einsum back in).  The
+            # one-hot operand [mb,kg,w,h] f32 is read once per einsum per
+            # ITERATION and amortizes over the batch.  MXU flops: 2 MACs
+            # per one-hot cell per einsum, 2 einsums.
+            s_vn = sc_real.mb * sc_real.kg * sc_real.w
+            s_cn = sc_real.mb * sc_real.h * sc_real.kg
+            oh = sc_real.mb * sc_real.kg * sc_real.w * sc_real.h
+            strat_bytes = (
+                s_vn * (2 * 2 + 2 * 4) + s_cn * 4 * 4 + 8 * sc_real.n
+                + 2 * oh * 4 / b_strat
+            )
             record(
                 "min-sum T=10, REAL 802.3an H, stratified MXU one-hot "
                 f"(cost {sc_real.cost:g})",
                 sc_real.n, 1723, step, frames, 10,
+                bytes_per_frame_iter=strat_bytes,
+                flops_per_frame_iter=2 * 2 * oh,
             )
 
     # min-sum on the REAL DVB-S2 rate-1/2 H (64800,32400) through the
@@ -234,6 +267,12 @@ def main(argv: Optional[List[str]] = None) -> int:
     )
 
     dvb_code = dvb.to_code()
+    # Generic slot-array traffic: the flat message arrays are PADDED
+    # ([N*dv_max] / [M*dc_max]); each moves once each way per iteration,
+    # plus the two gather index streams (int32 per edge each direction)
+    # and per-variable channel/decision overhead.
+    pad_slots = dvb_code.n * dvb_code.dv_max + dvb_code.m * dvb_code.dc_max
+    dvb_gen_bytes = 2 * pad_slots * 2 + 2 * e_dvb * 4 + 8 * dvb.n
     step, frames = mega(1024, 2, lambda k, b: jnp.sum(
         decode_minsum(
             dvb_code, awgn(k, jnp.ones((b, dvb.n), jnp.float32), sigma_d),
@@ -242,6 +281,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     record(
         "min-sum T=10, REAL DVB-S2 (64800,32400), generic gather f16",
         dvb.n, 32400, step, frames, 10,
+        bytes_per_frame_iter=dvb_gen_bytes,
     )
 
     step, frames = mega(2048, 2, lambda k, b: jnp.sum(
@@ -252,6 +292,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     record(
         "layered min-sum T=10, REAL DVB-S2 (latency-bound: 90 serial "
         "layers)", dvb.n, 32400, step, frames, 10,
+        bytes_per_frame_iter=msg_bytes(e_dvb, dvb.n, storage=2, ndirs=2),
     )
 
     # BP QC, early termination, T=30, f16 message storage (the benchmark
@@ -322,13 +363,26 @@ def main(argv: Optional[List[str]] = None) -> int:
            200, bytes_per_frame_iter=flip_bytes(12288, 2048, 384),
            early_term=True)
     hw_dg = _DG.from_code(hw_code)
+
+    def dense_hw_models(n_, m_, batch):
+        """Dense-matmul NGDBFhw: two H-operand matmuls per iteration
+        (0/1-syndrome via H·d and per-VN satisfied-sum via Hᵀ·(1−s)),
+        2 MACs per H cell each; traffic = the bf16 H operand twice per
+        iteration (amortized over the batch) + the d/y'/E/noise/syndrome
+        vectors."""
+        flops = 2 * 2 * m_ * n_
+        bytes_ = 2 * m_ * n_ * 2 / batch + 8 * m_ + 24 * n_
+        return bytes_, flops
+
+    hw_bytes, hw_flops = dense_hw_models(hw_code.n, hw_code.m, 2048)
     step, frames = mega(2048, 2, lambda k, b: jnp.sum(
         decode_ngdbf_hw(
             hw_code, awgn(k, jnp.ones((b, hw_code.n), jnp.float32), sigma_hw),
             sigma_hw, cfg_hw, key=jax.random.fold_in(k, 96), dense=hw_dg,
         ).least_errors))
     record("NGDBFhw T<=200 (2048,1664-class), dense MXU ops (sweep default)",
-           hw_code.n, 1664, step, frames, 200, early_term=True)
+           hw_code.n, 1664, step, frames, 200, early_term=True,
+           bytes_per_frame_iter=hw_bytes, flops_per_frame_iter=hw_flops)
 
     # NGDBFhw on the REAL 802.3an H (no circulant structure): dense MXU
     # graph ops replace the gathers (decoders/dense_ops.py).  Skipped when
@@ -339,6 +393,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         from ..decoders.dense_ops import DenseGraph
 
         dg = DenseGraph.from_code(real)
+        real_bytes, real_flops = dense_hw_models(real.n, real.m, 2048)
         step, frames = mega(2048, 2, lambda k, b: jnp.sum(
             decode_ngdbf_hw(
                 real,
@@ -346,7 +401,9 @@ def main(argv: Optional[List[str]] = None) -> int:
                 sigma_hw, cfg_hw, key=jax.random.fold_in(k, 97), dense=dg,
             ).least_errors))
         record("NGDBFhw T<=200 REAL 802.3an H, dense MXU ops", real.n,
-               1723, step, frames, 200, early_term=True)
+               1723, step, frames, 200, early_term=True,
+               bytes_per_frame_iter=real_bytes,
+               flops_per_frame_iter=real_flops)
 
     # DD-BMP T=50 on a QC (4000,2000)-class code: the roll path
     from ..codes.qc import qc_peg as _qc_peg
@@ -445,6 +502,17 @@ def main(argv: Optional[List[str]] = None) -> int:
                 f"| {label} | {frames} | {dt*1e3:.0f} | {bits/1e6:.1f} "
                 f"| {bw} | {pct} |"
             )
+    if mxu_notes and not args.append:
+        lines += [
+            "",
+            "MXU accounting for the matmul-interleaver rows (analytical "
+            "FLOP models in",
+            "perf_report.py; peak = 197 bf16 TFLOP/s; early-terminating "
+            "rows charge the",
+            "iteration cap, so ≤):",
+            "",
+            *mxu_notes,
+        ]
     out = "\n".join(lines) + "\n"
     if args.out:
         mode = "a" if args.append else "w"

@@ -155,6 +155,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--frames", type=int, default=10000,
                    help="fixed frame count for ngdbfhw")
     p.add_argument(
+        "--itdist-biased", action="store_true",
+        help="write the *_itdist.dat completion CDF with the reference's "
+             "own running-mean estimator, bias included (NGDBFhw.cpp:"
+             "419-421 never decays entries past a frame's completion) — "
+             "drop-in diffable against archived reference .dat files; "
+             "default is the unbiased complement-CDF (docs/VALIDATION.md "
+             "documents the bias with a reproduction)",
+    )
+    p.add_argument(
         "--resume", action="store_true",
         help="skip grid points already recorded in the '<log>.done' "
              "sidecar, keyed by the full operating-point tuple (the "
@@ -531,7 +540,11 @@ def main(argv: Optional[List[str]] = None) -> int:
                 cfg.ymax, cfg.nq, cfg.max_phases, args.seed,
             )
             # iteration-completion CDF file (NGDBFhw.cpp:464-469)
-            cdf = stats.iteration_cdf()
+            cdf = (
+                stats.iteration_cdf_biased()
+                if args.itdist_biased
+                else stats.iteration_cdf()
+            )
             with open(f"{args.log}_{snr:g}_itdist.dat", "w") as f:
                 for idx, v in enumerate(cdf):
                     f.write(f"{idx}\t{v:.6g}\n")
@@ -878,6 +891,24 @@ def _run_distributed(
     for pt, point, st in zip(grid, points, stats_list):
         snr = point["snr"]
         append_row(args.log, row_fn(snr, st, point))
+        if args.decoder == "ngdbfhw":
+            # iteration-completion CDF file (NGDBFhw.cpp:464-469); on a
+            # multi-parameter grid the parameters join the filename so
+            # points sharing an SNR don't clobber each other
+            suffix = "".join(
+                f"_{nm}{point[nm]:g}" for nm in param_names
+                if len(getattr(args, nm)) > 1
+            )
+            cdf = (
+                st.iteration_cdf_biased()
+                if args.itdist_biased
+                else st.iteration_cdf()
+            )
+            with open(
+                f"{args.log}_{snr:g}{suffix}_itdist.dat", "w"
+            ) as f:
+                for idx, v in enumerate(cdf):
+                    f.write(f"{idx}\t{v:.6g}\n")
         print(
             f"SNR={snr} "
             + " ".join(

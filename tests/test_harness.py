@@ -248,3 +248,35 @@ def test_gdbf_log_row_full():
     assert len(cols) == 16
     assert cols[7] == "-0.9" and cols[8] == "0.975"
     assert cols[11] == "120" and cols[12] == "0.12" and cols[13] == "64"
+
+
+def test_iteration_cdf_biased_properties():
+    """The reference-compat biased itdist estimator (NGDBFhw.cpp:419-421):
+    entries past a frame's completion are never decayed, so the biased
+    curve dominates the unbiased complement-CDF; idx 0 is updated by every
+    frame (exactly 1); all-frames-at-cap makes the two estimators equal."""
+    from ldpcsimulation_tpu.harness.montecarlo import MCStats
+
+    s = MCStats(n=10)
+    s.total_words = 64
+    s.iteration_hist = np.zeros(21, np.int64)
+    s.iteration_hist[[0, 3, 7, 20]] = [10, 30, 20, 4]
+    biased = s.iteration_cdf_biased()
+    unbiased = s.iteration_cdf()
+    assert biased.shape == unbiased.shape
+    assert abs(biased[0] - 1.0) < 1e-12
+    assert (np.diff(biased) <= 1e-12).all()  # nonincreasing
+    assert (biased >= unbiased - 1e-12).all()
+    # the bias is real where frames completed early
+    assert biased[10] > unbiased[10]
+    # deterministic across calls (seeded shuffle)
+    np.testing.assert_array_equal(biased, s.iteration_cdf_biased())
+
+    # degenerate: every frame runs the full cap -> estimators coincide
+    s2 = MCStats(n=10)
+    s2.total_words = 16
+    s2.iteration_hist = np.zeros(6, np.int64)
+    s2.iteration_hist[5] = 16
+    np.testing.assert_allclose(
+        s2.iteration_cdf_biased(), s2.iteration_cdf(), atol=1e-12
+    )

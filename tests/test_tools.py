@@ -750,3 +750,33 @@ def test_sweep_distributed_resume(tmp_path):
     assert n_rows == 2
     assert sweep_main(base) == 0  # second run: all points in the sidecar
     assert len(log.read_text().strip().splitlines()) == n_rows  # no dupes
+
+
+def test_sweep_itdist_biased_format(tmp_path):
+    """--itdist-biased writes the reference's file format byte-for-byte
+    conventions (idx<TAB>value, C++ default 6-significant-digit doubles,
+    num_iterations+1 lines) with the biased estimator's values."""
+    log = tmp_path / "hw.log"
+    rc = sweep_main(
+        [
+            "ngdbfhw", "--code", "peg_96_48", "--snr", "5.0",
+            "-T", "30", "--w", "0.2", "--ymax", "2.0",
+            "--noise-scale", "0.8", "--theta0", "-0.6",
+            "--log", str(log), "--batch", "32", "--frames", "64",
+            "--itdist-biased",
+        ]
+    )
+    assert rc == 0
+    lines = (tmp_path / "hw.log_5_itdist.dat").read_text().splitlines()
+    assert len(lines) == 31  # T+1 entries, one per line
+    import re
+
+    for idx, line in enumerate(lines):
+        m = re.fullmatch(r"(\d+)\t(\d+(?:\.\d+)?(?:e[+-]\d+)?)", line)
+        assert m, line
+        assert int(m.group(1)) == idx
+        # C++ default ostream double formatting == %.6g
+        assert m.group(2) == f"{float(m.group(2)):.6g}"
+    assert lines[0] == "0\t1"  # every frame uses >= 0 iterations, exactly 1
+    vals = [float(l.split("\t")[1]) for l in lines]
+    assert all(a >= b - 1e-12 for a, b in zip(vals, vals[1:]))
