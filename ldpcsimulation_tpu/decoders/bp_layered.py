@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from ..codes.qc import QCCode
-from .base import DecodeResult, run_flooding, sgn_pos
+from .base import DecodeResult, run_flooding, sgn_pos, vma_like
 from .bp import MAXLLR, pair_excl_logmags
 from .minsum_qc import (
     assert_layered_compatible,
@@ -57,14 +57,23 @@ def decode_bp_layered_qc(
     assert n == qc.n
     z = qc.z
     dtype = llr_t.dtype
-    q0 = llr_t.reshape(qc.nb, z, b)
-    dc_max = qc.dc_max
-    l0 = jnp.zeros((qc.mb, dc_max, z, b), dtype)
-    inf = jnp.asarray(jnp.inf, dtype)
+    # Per-block pytree state (tuples of [z, B] / [dc, z, B] arrays) —
+    # same rationale as minsum_layered: interleaved `.at[].set`s on
+    # stacked buffers made XLA materialize full-posterior copies per
+    # layer.
+    q0 = tuple(llr_t.reshape(qc.nb, z, b))
     cn_plan, _ = qc_slot_plan(qc)
+    # vma-typed zeros: the ET while_loop carry must match under shard_map
+    l0 = tuple(
+        vma_like(jnp.zeros((len(cn_plan[bi]), z, b), dtype), llr_t)
+        for bi in range(qc.mb)
+    )
+    inf = jnp.asarray(jnp.inf, dtype)
     assert_layered_compatible(qc)
 
     def one_iteration(q, L):
+        q = list(q)
+        L = list(L)
         for bi in range(qc.mb):
             entries = cn_plan[bi]
             dc = len(entries)
@@ -72,7 +81,7 @@ def decode_bp_layered_qc(
             qin = []
             for t, e in enumerate(entries):
                 qv = jnp.roll(q[e.bj], -e.shift, axis=0)
-                ext = qv - L[bi, t]
+                ext = qv - L[bi][t]
                 qext.append(ext)
                 ci = jnp.clip(ext, -max_llr, max_llr)
                 if e.cn_mask is not None:
@@ -111,17 +120,18 @@ def decode_bp_layered_qc(
             while t < dc:
                 e = entries[t]
                 if t + 1 < dc and entries[t + 1].pair_second:
-                    q = q.at[e.bj].set((posts[t] - q[e.bj]) + posts[t + 1])
+                    q[e.bj] = (posts[t] - q[e.bj]) + posts[t + 1]
                     t += 2
                 else:
-                    q = q.at[e.bj].set(posts[t])
+                    q[e.bj] = posts[t]
                     t += 1
-            pad = [jnp.zeros((z, b), dtype)] * (dc_max - dc)
-            L = L.at[bi].set(jnp.stack(new_rows + pad))
-        return q, L
+            L[bi] = jnp.stack(new_rows)
+        return tuple(q), tuple(L)
 
     def decide(q):
-        return jnp.where(q > 0, 1, -1).astype(jnp.int32)
+        return tuple(
+            jnp.where(qb > 0, 1, -1).astype(jnp.int32) for qb in q
+        )
 
     d, iters, done = run_flooding(
         (q0, l0),
@@ -131,5 +141,5 @@ def decode_bp_layered_qc(
         num_iterations, early_termination, b,
     )
     return DecodeResult(
-        hard=d.reshape(n, b).T, iterations=iters, satisfied=done
+        hard=jnp.stack(d).reshape(n, b).T, iterations=iters, satisfied=done
     )

@@ -44,7 +44,13 @@ import jax
 import jax.numpy as jnp
 
 from ..codes.qc import QCCode
-from .base import DecodeResult, run_flooding, sgn_pos, storage_cast
+from .base import (
+    DecodeResult,
+    run_flooding,
+    sgn_pos,
+    storage_cast,
+    vma_like,
+)
 from .minsum_qc import (
     assert_layered_compatible,
     qc_check_satisfied,
@@ -81,15 +87,27 @@ def decode_minsum_layered_qc(
     z = qc.z
     dtype = y_t.dtype
     sdt = storage_dtype if storage_dtype is not None else dtype
-    q0 = y_t.reshape(qc.nb, z, b)
-    dc_max = qc.dc_max
-    # stored check messages, CN-row space: [Mb, dc_max, z, B]
-    l0 = jnp.zeros((qc.mb, dc_max, z, b), sdt)
-    inf = jnp.asarray(jnp.inf, dtype)
+    # The posterior and the stored check messages are carried as PYTREE
+    # TUPLES of per-block arrays, not stacked buffers: a layer update then
+    # rebinds only the [z, B] blocks it touches (pure SSA values), where a
+    # stacked q with 90 interleaved `.at[bj].set`s made XLA materialize
+    # full-posterior copies — measured 170 ms/iteration on DVB-S2 at
+    # B=2048, ~26x the actual per-layer traffic (docs/PERF.md).
+    q0 = tuple(y_t.reshape(qc.nb, z, b))
     cn_plan, _ = qc_slot_plan(qc)
+    # stored messages per layer: [dc_bi, z, B] (exact row degree, no pad);
+    # vma-typed from the input so the early-termination while_loop carry
+    # matches under shard_map (see base.vma_like)
+    l0 = tuple(
+        vma_like(jnp.zeros((len(cn_plan[bi]), z, b), sdt), y_t)
+        for bi in range(qc.mb)
+    )
+    inf = jnp.asarray(jnp.inf, dtype)
     assert_layered_compatible(qc)
 
     def one_iteration(q, L):
+        q = list(q)
+        L = list(L)
         for bi in range(qc.mb):
             entries = cn_plan[bi]
             dc = len(entries)
@@ -98,7 +116,7 @@ def decode_minsum_layered_qc(
             qext = []
             for t, e in enumerate(entries):
                 qv = jnp.roll(q[e.bj], -e.shift, axis=0)
-                qe = qv - L[bi, t].astype(dtype)
+                qe = qv - L[bi][t].astype(dtype)
                 if e.cn_mask is not None:
                     qe = jnp.where(jnp.asarray(e.cn_mask)[:, None], inf, qe)
                 qext.append(qe)
@@ -146,18 +164,19 @@ def decode_minsum_layered_qc(
                     # pair block: block-parallel accumulate (see module
                     # docstring); grouping (a1 - q) + a2 fixed for the
                     # oracle equivalence
-                    q = q.at[e.bj].set((posts[t] - q[e.bj]) + posts[t + 1])
+                    q[e.bj] = (posts[t] - q[e.bj]) + posts[t + 1]
                     t += 2
                 else:
                     # single edge: conflict-free immediate update
-                    q = q.at[e.bj].set(posts[t])
+                    q[e.bj] = posts[t]
                     t += 1
-            pad = [jnp.zeros((z, b), sdt)] * (dc_max - dc)
-            L = L.at[bi].set(jnp.stack(new_rows + pad))
-        return q, L
+            L[bi] = jnp.stack(new_rows)
+        return tuple(q), tuple(L)
 
     def decide(q):
-        return jnp.where(q > 0, 1, -1).astype(jnp.int32)
+        return tuple(
+            jnp.where(qb > 0, 1, -1).astype(jnp.int32) for qb in q
+        )
 
     d, iters, done = run_flooding(
         (q0, l0),
@@ -167,5 +186,5 @@ def decode_minsum_layered_qc(
         num_iterations, early_termination, b,
     )
     return DecodeResult(
-        hard=d.reshape(n, b).T, iterations=iters, satisfied=done
+        hard=jnp.stack(d).reshape(n, b).T, iterations=iters, satisfied=done
     )

@@ -585,10 +585,14 @@ def _run_distributed(
     from ..parallel.mesh import make_mesh
     from ..parallel.montecarlo import simulate_grid
 
-    if args.schedule == "layered":
+    if args.schedule == "layered" and (
+        qc is None or args.decoder not in (
+            "bp", "minsum", "offsetminsum", "normalizedminsum"
+        )
+    ):
         raise SystemExit(
-            "sweep: error: --schedule layered is not supported with "
-            "--distributed (run it single-device)"
+            "sweep: error: --schedule layered with --distributed needs a "
+            "QC-structured --code and a bp/min-sum decoder"
         )
 
     # Full cartesian grid in the SAME field order (and therefore the same
@@ -670,13 +674,23 @@ def _run_distributed(
         param_names = ()
         bp_sdt = jnp.float16 if args.msg_dtype == "f16" else None
 
-        def dec(y, sigma, key, point):
-            n0 = 2.0 * sigma * sigma
-            return decode_bp(
-                code, jnp.clip(4.0 * y / n0, -20.0, 20.0), T,
-                early_termination=args.early_termination,
-                storage_dtype=bp_sdt,
-            )
+        if args.schedule == "layered":
+            from ..decoders.bp_layered import decode_bp_layered_qc
+
+            def dec(y, sigma, key, point):
+                n0 = 2.0 * sigma * sigma
+                return decode_bp_layered_qc(
+                    qc, jnp.clip(4.0 * y / n0, -20.0, 20.0), T,
+                    early_termination=args.early_termination,
+                )
+        else:
+            def dec(y, sigma, key, point):
+                n0 = 2.0 * sigma * sigma
+                return decode_bp(
+                    code, jnp.clip(4.0 * y / n0, -20.0, 20.0), T,
+                    early_termination=args.early_termination,
+                    storage_dtype=bp_sdt,
+                )
 
         preprocess = None
 
@@ -687,17 +701,31 @@ def _run_distributed(
         variant = {"minsum": "plain", "offsetminsum": "offset",
                    "normalizedminsum": "normalized"}[args.decoder]
         sdt = jnp.float16 if args.msg_dtype == "f16" else None
+        if args.schedule == "layered":
+            from ..decoders.minsum_layered import (
+                decode_minsum_layered_qc as _dml,
+            )
+
+            def _ms_decode(y, alpha, delta):
+                return _dml(
+                    qc, y, T, variant=variant, alpha=alpha, delta=delta,
+                    early_termination=args.early_termination,
+                    storage_dtype=sdt,
+                )
+        else:
+            def _ms_decode(y, alpha, delta):
+                return decode_minsum(
+                    code, y, T, variant=variant, alpha=alpha, delta=delta,
+                    early_termination=args.early_termination,
+                    storage_dtype=sdt,
+                )
         if variant == "plain":
             _reject_unsweepable(())
             param_names = ()
             preprocess = None
 
             def dec(y, sigma, key, point):
-                return decode_minsum(
-                    code, y, T,
-                    early_termination=args.early_termination,
-                    storage_dtype=sdt,
-                )
+                return _ms_decode(y, 1.0, 0.0)
         else:
             param_names = ("ymax", "nq", "alpha", "delta")
             _reject_unsweepable(param_names)
@@ -706,12 +734,7 @@ def _run_distributed(
                 return quantize_no_zero(y, point["ymax"], point["nq"])
 
             def dec(y, sigma, key, point):
-                return decode_minsum(
-                    code, y, T, variant=variant,
-                    alpha=point["alpha"], delta=point["delta"],
-                    early_termination=args.early_termination,
-                    storage_dtype=sdt,
-                )
+                return _ms_decode(y, point["alpha"], point["delta"])
 
         defaults = dict(ymax=2.0, nq=8.0, alpha=1.0, delta=0.0)
 

@@ -780,3 +780,31 @@ def test_sweep_itdist_biased_format(tmp_path):
     assert lines[0] == "0\t1"  # every frame uses >= 0 iterations, exactly 1
     vals = [float(l.split("\t")[1]) for l in lines]
     assert all(a >= b - 1e-12 for a, b in zip(vals, vals[1:]))
+
+
+def test_sweep_distributed_layered(tmp_path):
+    """--schedule layered now runs under --distributed (the posterior-copy
+    latency that motivated the old rejection is fixed by the per-block
+    pytree state — docs/PERF.md); rows must match the single-device
+    layered route's layout."""
+    log = tmp_path / "dl.log"
+    rc = sweep_main(
+        [
+            "minsum", "--code", "qc_1008_504", "--schedule", "layered",
+            "--snr", "2.0,3.0", "-T", "6", "--early-termination",
+            "--distributed", "--log", str(log), "--batch", "8",
+            "--max-frames", "64",
+            "--min-errors", "1000000", "--min-word-errors", "1000000",
+        ]
+    )
+    assert rc == 0
+    rows = log.read_text().strip().splitlines()
+    assert len(rows) == 2
+    assert float(rows[0].split("\t")[1]) > float(rows[1].split("\t")[1])
+    # layered with a non-QC code still errors clearly
+    with pytest.raises(SystemExit, match="layered"):
+        sweep_main(
+            ["minsum", "--code", "peg_96_48", "--schedule", "layered",
+             "--snr", "2.0", "-T", "3", "--distributed",
+             "--log", str(tmp_path / "x.log"), "--batch", "8"]
+        )
