@@ -291,8 +291,8 @@ def main(argv: Optional[List[str]] = None) -> int:
             10, storage_dtype=jnp.float16,
         ).hard != 1))
     record(
-        "layered min-sum T=10, REAL DVB-S2 (latency-bound: 90 serial "
-        "layers)", dvb.n, 32400, step, frames, 10,
+        "layered min-sum T=10, REAL DVB-S2 (per-block pytree state)",
+        dvb.n, 32400, step, frames, 10,
         bytes_per_frame_iter=msg_bytes(e_dvb, dvb.n, storage=2, ndirs=2),
     )
 
@@ -479,9 +479,9 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     for rel, label, snr_nb, bnb in [
         ("SystemC/NB-LDPC/codes/GF4/q4.sp.9000.6000.4500.1",
-         "FFT-QSPA GF(4) T<=20 REAL (9000,6000)sym @2.2dB", 2.2, 64),
+         "FFT-QSPA GF(4) T<=20 REAL (9000,6000)sym @2.2dB", 2.2, 256),
         ("SystemC/NB-LDPC/codes/GF8/q8.sp.6000.4000.3000.1",
-         "FFT-QSPA GF(8) T<=20 REAL (6000,4000)sym @2.4dB", 2.4, 32),
+         "FFT-QSPA GF(8) T<=20 REAL (6000,4000)sym @2.4dB", 2.4, 256),
     ]:
         p = _os.path.join("/root/reference", rel)
         if not _os.path.exists(p):
