@@ -177,8 +177,12 @@ def run_flooding(
 
     With early termination: a per-frame masked ``lax.while_loop`` — the
     loop exits when every frame's syndrome passes (or at T), frozen frames
-    keep the first satisfying state, and ``iterations`` counts the update
-    rounds each frame actually used.
+    keep the first satisfying DECISION, and ``iterations`` counts the
+    update rounds each frame actually used.  Only the decision carry is
+    masked: frames are independent along the batch and the state is
+    consumed solely through ``decide``, so a satisfied frame's state may
+    keep evolving harmlessly — masking it cost a full state read+write
+    per iteration (same finding as run_flooding_soft / decode_nb_qspa).
 
     Returns (d, iterations [B] int32, satisfied [B] bool).
     """
@@ -203,10 +207,9 @@ def run_flooding(
 
     def body(carry):
         t, st, d, iters, done = carry
-        st_new = step(st)
-        d_new = decide(st_new)
+        st = step(st)
+        d_new = decide(st)
         act = ~done
-        st = _mask_last(act, st_new, st)
         d = _mask_last(act, d_new, d)
         iters = jnp.where(act, t + 1, iters)
         done = done | satisfied_of(d)

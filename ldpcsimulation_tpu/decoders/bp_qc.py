@@ -107,8 +107,8 @@ def decode_bp_qc(
     _, vn_plan = qc_slot_plan(qc)
 
     def step(v2c):
-        # c2v slots stay unstacked; left-fold sum matches jnp.sum's reduce
-        # order so decisions are bit-exact with the stacked formulation.
+        # c2v slots stay unstacked; messages left-fold first, channel
+        # term last (the generic decoder's grouping, minsum.vn_update).
         slots = qc_cn_bp_slots(qc, v2c)
         totals = []
         planes = []

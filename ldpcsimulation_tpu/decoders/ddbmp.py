@@ -62,8 +62,18 @@ def decode_ddbmp(
         # VN
         gv = gather_vn(code, c2v)  # [N, dv_max, B]
         gv = jnp.where(code.vn_mask[:, :, None], gv, jnp.zeros_like(gv))
-        total = y_t + jnp.sum(gv, axis=1)  # [N, B]
-        mem_new = (mem.reshape(n, code.dv_max, b) + total[:, None, :] - gv)
+        # left fold FROM y (decodeDDBMP.cpp:399-407 ``sum = y[i]; sum +=
+        # msg``): the y + sum(gv) association differed by 1 ulp on
+        # non-representable quantized samples and, because the memories
+        # accumulate it every round, flipped message signs at zero
+        # crossings — a real trajectory divergence vs the C loop
+        total = y_t
+        for s in range(code.dv_max):
+            total = total + gv[:, s, :]
+        # grouping matters at the ulp: the reference accumulates
+        # ``memories[i][j] += sum - msg`` (decodeDDBMP.cpp:413) — i.e.
+        # mem + (sum - msg), NOT (mem + sum) - msg
+        mem_new = mem.reshape(n, code.dv_max, b) + (total[:, None, :] - gv)
         mem_new = mem_new.reshape(n * code.dv_max, b)
         out_signs = sgn_pos(mem_new).reshape(n, code.dv_max, b)
         out_signs = jnp.where(
@@ -162,15 +172,17 @@ def decode_ddbmp_qc(
                         jnp.zeros_like(sa), sa,
                     )
                 slots.append(sa)
-            acc = None
+            # left fold FROM y (decodeDDBMP.cpp:399-407; see the generic
+            # decoder) — keeps QC bit-exact with generic AND with the C
+            acc = yb[bj]
             for sa in slots:
-                acc = sa if acc is None else acc + sa
-            total = yb[bj] + acc
+                acc = acc + sa
+            total = acc
             totals.append(total)
             mem_rows = []
             outs = []
             for s, (e, sa) in enumerate(zip(vn_plan[bj], slots)):
-                mrow = mem[bj, s] + total - sa
+                mrow = mem[bj, s] + (total - sa)
                 mem_rows.append(mrow)
                 o = sgn_pos(mrow)
                 if e.zero_mask is not None:

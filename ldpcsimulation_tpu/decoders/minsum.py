@@ -97,7 +97,18 @@ def vn_update(
     """
     msgs = gather_vn(code, c2v_flat)  # [N, dv_max, B]
     msgs = jnp.where(code.vn_mask[:, :, None], msgs, jnp.zeros_like(msgs))
-    total = y_t + jnp.sum(msgs, axis=1)  # [N, B]
+    # Association is EXPLICIT and pinned: messages left-fold first, the
+    # channel term is added last — y + ((m0+m1)+m2).  The reference
+    # left-folds FROM y (decodeMinSum.cpp:456-463); the two groupings
+    # differ by 1 ulp on non-representable inputs, which is statistically
+    # invisible but matters for bit-exact oracle tests — tests/oracle.py
+    # mirrors THIS grouping (the y-first grouping measured ~6.5% slower
+    # on the flagship QC path; DD-BMP, whose memories accumulate the
+    # drift against a C-exact oracle, keeps the reference grouping).
+    acc = msgs[:, 0, :]
+    for j in range(1, code.dv_max):
+        acc = acc + msgs[:, j, :]
+    total = y_t + acc
     v2c = total[:, None, :] - msgs
     if clamp is not None:
         v2c = jnp.clip(v2c, -clamp, clamp)

@@ -181,10 +181,15 @@ def _unswap_outputs(entries, outs):
     return phys
 
 
-def _vn_fold(entries, accs):
+def _vn_fold(entries, accs, init=None):
     """Left-fold of a VN block's c2v contributions in the generic
     decoder's within-column slot order (pair swaps preserve the f32
-    grouping), with absent (minus) edges contributing exact zeros."""
+    grouping), with absent (minus) edges contributing exact zeros.
+
+    ``init``: optional seed term folded FIRST (used by decoders that pin
+    the reference's ``sum = y[i]; sum += msg`` association, e.g. DD-BMP);
+    min-sum/BP fold messages first and add the channel term last
+    (see minsum.vn_update for the grouping rationale)."""
     vals = []
     for e, sa in zip(entries, accs):
         if e.zero_mask is not None:
@@ -192,7 +197,7 @@ def _vn_fold(entries, accs):
                 jnp.asarray(e.zero_mask)[:, None], jnp.zeros_like(sa), sa
             )
         vals.append(sa)
-    acc = None
+    acc = init
     t = 0
     while t < len(vals):
         if entries[t].pair_sw is not None:
@@ -348,9 +353,9 @@ def decode_minsum_qc(
         """One flooding iteration.  Returns (v2c_new, totals).
 
         The c2v slots stay unstacked expressions: each is consumed by the
-        per-block total (left-fold, matching jnp.sum's reduce order so the
-        f32 rounding — and therefore every hard decision — is bit-exact
-        with the stacked formulation) and by the extrinsic subtraction,
+        per-block total (messages left-folded, channel term added last —
+        the generic decoder's exact grouping, see minsum.vn_update) and
+        by the extrinsic subtraction,
         which XLA CSEs into one fused computation with no materialized
         [Nb, dv_max, z, B] c2v buffer.
         """

@@ -175,7 +175,12 @@ def decode_minsum_stratified(
         c2v_cn = _cn_minsum(sc, v2c_cn, variant, alpha, delta)
         c2v = stratified_to_vn(sc, c2v_cn).astype(y_t.dtype)
         c2v = jnp.where(vnv, c2v, 0.0)
-        total = yg + jnp.sum(c2v, axis=0)  # [kg, w, B]
+        # messages (strata) left-fold first, channel term last — the
+        # generic decoder's exact grouping (minsum.vn_update)
+        acc = c2v[0]
+        for s in range(1, sc.mb):
+            acc = acc + c2v[s]
+        total = yg + acc
         v2c_new = jnp.where(vnv, storage_cast(total[None] - c2v, sdt),
                             jnp.zeros((), sdt))
         return v2c_new, total

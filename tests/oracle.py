@@ -67,11 +67,15 @@ def minsum_decode(a: Alist, y, T: int, variant="plain", alpha=1.0, delta=0.0):
                     msg = c2s[c][j]
                     mag = abs(msg) - delta
                     c2s[c][j] = sgn_pos(msg) * mag if mag > 0 else 0.0
-        # symbol node update
+        # symbol node update.  Grouping pinned to the framework's:
+        # messages left-fold first, channel term last (minsum.vn_update —
+        # 1 ulp from the C's y-first fold, statistically invisible; the
+        # oracle mirrors the framework so bit-exact tests stay exact)
         for v in range(a.n):
-            total = y[v]
+            macc = 0.0
             for s, c in enumerate(a.nlist[v]):
-                total += c2s[c][_cslot_of(a, v, c)]
+                macc += c2s[c][_cslot_of(a, v, c)]
+            total = y[v] + macc
             for s, c in enumerate(a.nlist[v]):
                 s2c[v][s] = total - c2s[c][_cslot_of(a, v, c)]
             d[v] = 1 if total > 0 else -1
@@ -100,9 +104,12 @@ def bp_decode(a: Alist, llr, T: int, max_llr=20.0):
                     out = math.log((1.0 + prod) / (1.0 - prod))
                 c2s[c][j] = out
         for v in range(a.n):
-            total = llr[v]
+            # message-first grouping, channel term last (see the min-sum
+            # oracle note)
+            macc = 0.0
             for s, c in enumerate(a.nlist[v]):
-                total += c2s[c][_cslot_of(a, v, c)]
+                macc += c2s[c][_cslot_of(a, v, c)]
+            total = llr[v] + macc
             for s, c in enumerate(a.nlist[v]):
                 out = total - c2s[c][_cslot_of(a, v, c)]
                 if abs(out) > max_llr:

@@ -94,3 +94,31 @@ def test_ddbmp_qc_bit_exact_vs_generic():
         np.testing.assert_array_equal(
             np.asarray(a.satisfied), np.asarray(bres.satisfied)
         )
+
+
+def test_ddbmp_matches_oracle_many_seeds(dcode):
+    """Regression for the floating-point association bug: the decoder
+    computed (mem + total) − msg and total = y + Σmsgs, while the C
+    reference accumulates mem += (sum − msg) with sum left-folded FROM y
+    (decodeDDBMP.cpp:399-413).  The 1-ulp drift compounds in the memories
+    and flips message signs at zero crossings — before the fix, ~1% of
+    random frames diverged from the oracle (first caught by an
+    order-shifted rng draw under pytest-xdist).  48 fresh seeds x 4
+    frames, bit-exact."""
+    a, code = dcode
+    sigma = float(snr_to_sigma(4.0, 0.5))
+    for seed in range(48):
+        r = np.random.default_rng(10_000 + seed)
+        y = np.ones((4, a.n)) * (1.0 + sigma * r.normal(size=(4, a.n)))
+        yq = np.asarray(quantize_no_zero(jnp.asarray(y), 1.5, 8.0))
+        res = decode_ddbmp(code, jnp.asarray(yq), num_iterations=20)
+        hard = np.asarray(res.hard)
+        iters = np.asarray(res.iterations)
+        sats = np.asarray(res.satisfied)
+        for f in range(4):
+            ref = oracle.ddbmp_decode(a, yq[f], 20)
+            np.testing.assert_array_equal(
+                hard[f], ref["d"], err_msg=f"seed {seed} frame {f}"
+            )
+            assert iters[f] == ref["iterations"], (seed, f)
+            assert bool(sats[f]) == ref["satisfied"], (seed, f)

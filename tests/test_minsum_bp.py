@@ -262,3 +262,26 @@ def test_bp_clamps_extreme_input_llrs(small_code):
         small_code, jnp.clip(jnp.asarray(llr), -20, 20), num_iterations=5
     )
     np.testing.assert_array_equal(np.asarray(out.hard), np.asarray(ref.hard))
+
+
+def test_minsum_matches_oracle_many_seeds(small_code):
+    """Association-pinning regression (the DD-BMP lesson applied to
+    min-sum): decoder and oracle share the exact message-first/channel-
+    last grouping, so bit-exactness must hold for ANY draw — 32 fresh
+    seeds x 4 frames of quantized samples (non-representable values are
+    what expose grouping drift)."""
+    from ldpcsimulation_tpu.channel import quantize_no_zero
+
+    a, code = small_code
+    sigma = float(snr_to_sigma(3.0, 0.5))
+    for seed in range(32):
+        r = np.random.default_rng(20_000 + seed)
+        y = np.ones((4, a.n)) * (1.0 + sigma * r.normal(size=(4, a.n)))
+        yq = np.asarray(quantize_no_zero(jnp.asarray(y), 1.5, 8.0))
+        res = decode_minsum(code, jnp.asarray(yq), num_iterations=8)
+        hard = np.asarray(res.hard)
+        for f in range(4):
+            d_ref, _s, _c = oracle.minsum_decode(a, yq[f], 8)
+            np.testing.assert_array_equal(
+                hard[f], d_ref, err_msg=f"seed {seed} frame {f}"
+            )
