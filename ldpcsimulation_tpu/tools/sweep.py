@@ -825,8 +825,6 @@ def _run_distributed(
             )
 
     elif args.decoder == "ddbmp":
-        from ..channel.quantize import quantize_no_zero as _qnz
-
         param_names = ("ymax", "nq")
         _reject_unsweepable(param_names)
 
