@@ -128,7 +128,33 @@ def main() -> int:
         ("nb_minsum", lambda: decode_nb_minsum(nb, pri, 5).symbols),
         ("nb_minmax", lambda: decode_nb_minsum(
             nb, pri, 5, variant="minmax").symbols),
+        ("grid step (traced op-point scalars)", lambda: _grid_check()),
     ]
+    def _grid_check():
+        # one-slot mesh on the chip: the distributed operating-point grid
+        # step with TRACED per-slot sigma + decoder scalars (shard_map +
+        # psum compile and run on the real TPU, not just the CPU dryrun)
+        import numpy as _np
+
+        from ldpcsimulation_tpu.decoders.minsum import decode_minsum
+        from ldpcsimulation_tpu.parallel.mesh import make_grid_step, make_mesh
+
+        mesh = make_mesh(n_snr=1, devices=jax.devices()[:1])
+        step = make_grid_step(
+            code,
+            lambda yy, sigma, k, point: decode_minsum(
+                code, yy, 5, variant="normalized", alpha=point["alpha"],
+                early_termination=True,
+            ),
+            mesh, batch_per_device=32, max_iterations=5,
+            param_names=("alpha",),
+        )
+        bits = jnp.zeros((1, step.batch_global, code.n), jnp.uint8)
+        out = step(jax.random.key(0), bits,
+                   _np.asarray([0.7], _np.float32),
+                   {"alpha": _np.asarray([1.25], _np.float32)})
+        return out["errors"]
+
     failed = []
     for name, fn in checks:
         try:
