@@ -297,8 +297,10 @@ def main(argv: Optional[List[str]] = None) -> int:
     )
 
     # BP QC, early termination, T=30, f16 message storage (the benchmark
-    # precision mode; hyperbolic-pair CN — decoders/bp.py)
-    step, frames = mega(8192, 4, lambda k, b: jnp.sum(
+    # precision mode; hyperbolic-pair CN — decoders/bp.py).  16 on-device
+    # rounds amortize the ~29 ms dispatch/sync overhead, same methodology
+    # as the flagship row (124.2 vs 106.9 Mbit/s at 4 rounds).
+    step, frames = mega(8192, 16, lambda k, b: jnp.sum(
         decode_bp_qc(
             qc,
             llr_from_channel(
