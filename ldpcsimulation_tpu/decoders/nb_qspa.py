@@ -12,9 +12,16 @@ Walsh–Hadamard transform, turning O(q^dc) into O(dc·q·log q):
   CN:  per edge, rescale P_x by the edge coefficient (index permutation
        through the GF multiplication table), WHT, multiply the *other*
        edges' transforms (prefix/suffix, exact exclusion), inverse WHT,
-       inverse-rescale.
+       inverse-rescale.  For q ≤ 8 the rescale+WHT pair is fused into a
+       single ±1 linear combination (see :func:`_wht_sign_tables`).
   VN:  product of channel prior and other edges' messages (log-domain
-       prefix/suffix sums, softmax-normalized).
+       prefix/suffix sums, max-normalized).
+
+Messages between the updates are stored in the LOG domain (round 3): both
+per-(slot, frame) normalizations reduce to max-subtractions by scale
+invariance, and optional f16 message storage (measured SER-identical on
+the real GF(4)/GF(8) codes at their waterfall points) halves the gather
+traffic — see :func:`decode_nb_qspa`.
   Decision: argmax posterior; stop when the hard symbols satisfy every
        check (H·z = 0 over GF(q)), as in the prototype.
 
@@ -85,8 +92,87 @@ def wht(x: jax.Array, axis: int = -1) -> jax.Array:
     return jnp.moveaxis(_gf2m_wht(x), -1, axis)
 
 
+# Fused coefficient-rescale + WHT (chip profile, round 3): the CN transform
+# pair — permute the q axis by the edge coefficient, then WHT — was 5.9 ms
+# of the 20.2 ms real-GF(4)-code iteration (take_along_axis gather 2.5 ms +
+# butterfly WHT with its moveaxis transposes 3.4 ms, each way).  But the
+# composition is itself a single ±1 linear map over the tiny q axis:
+#
+#   fwd:  WHT(P_h x)[w]   = Σ_a (-1)^pc(w & a) x[h^{-1}a]
+#                         = Σ_c (-1)^pc(w & (h⊗c)) x[c]
+#   inv:  (P_h' WHT s)[a] = Σ_c (-1)^pc((h⊗a) & c) s[c]
+#
+# so both sides become ONE fused elementwise pass: a q-term multiply-add
+# unroll against constant [q, q, q] sign tables indexed by the (traced)
+# per-slot coefficient — no gather, no transposes, q² VPU mul-adds per
+# lane element.  That is a win only while q² is small; for large q the
+# butterfly's q·log q beats it, so the decoder gates on q ≤ _FUSED_QMAX
+# (GF(64) measured faster on the butterfly path, see _gf2m_wht docstring).
+_FUSED_QMAX = 8
+
+
+@functools.lru_cache(maxsize=None)
+def _wht_sign_tables(q: int):
+    """Constant [q, q, q] f32 tables: fwd[h, w, c], inv[h, a, c] (above)."""
+    mul_np, _ = gf_tables(q)
+    idx = np.arange(q)
+    pc = np.array([bin(i).count("1") for i in range(q)])
+    par = np.where(pc[idx[:, None] & idx[None, :]] % 2 == 0, 1.0, -1.0)
+    fwd = par[:, mul_np].transpose(1, 0, 2)  # fwd[h, w, c] = par[w, h⊗c]
+    inv = par[mul_np]  # inv[h, a, c] = par[h⊗a, c]
+    return (np.ascontiguousarray(fwd.astype(np.float32)),
+            np.ascontiguousarray(inv.astype(np.float32)))
+
+
+def _signed_combine(sgn, x):
+    """y[s, w, b] = Σ_c sgn[s, w, c] · x[s, c, b], unrolled over c so XLA
+    lowers it as one elementwise fusion (no dot, no gather)."""
+    q = x.shape[1]
+    acc = sgn[:, :, 0, None] * x[:, None, 0, :]
+    for c in range(1, q):
+        acc = acc + sgn[:, :, c, None] * x[:, None, c, :]
+    return acc
+
+
+def _class_combine(h_cn, x, tbl):
+    """y[s, w, b] = Σ_c tbl[h_s, w, c] · x[s, c, b], per-class static form.
+
+    ``tbl`` is a constant numpy [q, q, q] ±1 table; ``h_cn`` the traced
+    per-slot coefficient.  Each coefficient class h ∈ {1..q−1} gets a
+    compile-time-sign add/sub unroll (no per-slot sign tensor, no
+    multiplies), selected by the traced class mask.  Measured 2.4× faster
+    than the broadcast-multiply :func:`_signed_combine` on the real GF(4)
+    (9000,6000) code — and bit-identical (same c-ascending accumulation
+    order).  The q=2 case degenerates to the plain butterfly with zero
+    selects.  Coefficient 0 never labels an edge; padding slots carry 1
+    and are overwritten by the caller's mask.
+
+    Only used for q ≤ 4: at q=8 the (q−1)-class × q² unroll measured 2×
+    SLOWER than :func:`_signed_combine` (37.6 vs 18.2 ms/iteration on the
+    real GF(8) code) — the select chain cannot amortize 7 full combines."""
+    q = x.shape[1]
+
+    def static_combine(h):
+        cols = []
+        for w in range(q):
+            acc = None
+            for c in range(q):
+                t = x[:, c] if tbl[h, w, c] > 0 else -x[:, c]
+                acc = t if acc is None else acc + t
+            cols.append(acc)
+        return jnp.stack(cols, axis=1)
+
+    out = static_combine(1)
+    for h in range(2, q):
+        out = jnp.where((h_cn == h)[:, None, None], static_combine(h), out)
+    return out
+
+
 @functools.partial(
-    jax.jit, static_argnames=("num_iterations", "early_termination", "q")
+    jax.jit,
+    static_argnames=(
+        "num_iterations", "early_termination", "q", "storage_dtype"
+    ),
 )
 def decode_nb_qspa(
     code: Code,
@@ -94,11 +180,22 @@ def decode_nb_qspa(
     num_iterations: int,
     q: int = 0,
     early_termination: bool = True,
+    storage_dtype=None,
 ) -> NBDecodeResult:
     """Batched FFT-QSPA decode.
 
     priors: [B, N, q] channel symbol probabilities (see channel.nb).
     q: field order (defaults to code.q).
+    storage_dtype: optional narrower dtype (e.g. float16) for the message
+    planes between updates; arithmetic stays in the prior dtype.  Messages
+    live in the LOG domain between updates (round 3): the CN's max-
+    normalized log output is exactly what the VN sums, and both per-
+    (slot, frame) normalizations (the CN sum+divide and the softmax's
+    divide) drop out by scale invariance — every remaining normalization
+    is a max-subtraction, and each side performs exactly one exp and one
+    log per edge.  Log-domain values sit in [log eps, ~q·dc], where the
+    f16 ulp (≤0.03) is the same regime as binary BP's clamped-LLR f16
+    storage (decoders/bp.py).
     """
     q = q or code.q
     mul_np, inv_np = gf_tables(q)
@@ -109,6 +206,7 @@ def decode_nb_qspa(
     n, qq, b = pri.shape
     assert qq == q and n == code.n
     dtype = pri.dtype
+    sdtype = storage_dtype or dtype
     eps = jnp.asarray(1e-30, dtype)
     log_pri = jnp.log(pri + eps)
 
@@ -124,36 +222,73 @@ def decode_nb_qspa(
     vn_mask = code.vn_mask.reshape(-1)[:, None, None]
     delta0 = jnp.zeros((q,), dtype).at[0].set(1.0)[None, :, None]
 
+    if q <= _FUSED_QMAX:
+        fwd_tbl, inv_tbl = _wht_sign_tables(q)
+        if q <= 4:
+            combine = functools.partial(_class_combine, h_cn)
+            fwd_arg, inv_arg = fwd_tbl, inv_tbl
+        else:
+            combine = lambda x, sgn: _signed_combine(sgn, x)  # noqa: E731
+            fwd_arg = jnp.take(jnp.asarray(fwd_tbl), h_cn, axis=0)
+            inv_arg = jnp.take(jnp.asarray(inv_tbl), h_cn, axis=0)
+
     def cn_update(v2c):
-        """v2c [N*dv_max, q, B] -> c2v [M*dc_max, q, B] (x-domain probs)."""
+        """v2c [N*dv_max, q, B] log-domain -> c2v [M*dc_max, q, B] log."""
         g = jnp.take(v2c, cn_gather, axis=0)  # [M*dc_max, q, B]
-        # coefficient rescale; padding slots become delta at 0 (the
-        # additive identity — exactly a non-edge's contribution)
-        g = jnp.take_along_axis(g, pre_idx[:, :, None], axis=1)
-        g = jnp.where(cn_mask, g, delta0)
-        f = _gf2m_wht(jnp.moveaxis(g, 1, -1))  # [slots, B, q]
-        f = f.reshape(code.m, code.dc_max, b, q)
-        # exact exclusion via prefix/suffix products over the dc axis
-        ones = jnp.ones((code.m, b, q), dtype)
-        pre = [ones]
-        for t in range(code.dc_max - 1):
-            pre.append(pre[-1] * f[:, t])
-        suf = [ones]
-        for t in range(code.dc_max - 1, 0, -1):
-            suf.append(suf[-1] * f[:, t])
-        suf.reverse()
-        excl = jnp.stack([pre[t] * suf[t] for t in range(code.dc_max)], axis=1)
-        s = _gf2m_wht(excl.reshape(code.m * code.dc_max, b, q))  # inv WHT * q
-        s = jnp.moveaxis(s, -1, 1)  # [slots, q, B]
-        out = jnp.take_along_axis(s, post_idx[:, :, None], axis=1)
+        g = jnp.exp(g.astype(dtype))  # x-domain, ≤ 1 (max-normalized logs)
+        if q <= _FUSED_QMAX:
+            # fused coefficient-rescale + WHT (see _wht_sign_tables): one
+            # elementwise pass; a padding slot's contribution is delta0,
+            # whose transform is all-ones under any coefficient.
+            f = combine(g, fwd_arg)
+            f = jnp.where(cn_mask, f, jnp.ones_like(f))
+            f = f.reshape(code.m, code.dc_max, q, b)
+            # exact exclusion via prefix/suffix products over the dc axis
+            ones = jnp.ones((code.m, q, b), dtype)
+            pre = [ones]
+            for t in range(code.dc_max - 1):
+                pre.append(pre[-1] * f[:, t])
+            suf = [ones]
+            for t in range(code.dc_max - 1, 0, -1):
+                suf.append(suf[-1] * f[:, t])
+            suf.reverse()
+            excl = jnp.stack(
+                [pre[t] * suf[t] for t in range(code.dc_max)], axis=1
+            ).reshape(code.m * code.dc_max, q, b)
+            out = combine(excl, inv_arg)  # inv WHT · q + post-perm
+        else:
+            # coefficient rescale; padding slots become delta at 0 (the
+            # additive identity — exactly a non-edge's contribution)
+            g = jnp.take_along_axis(g, pre_idx[:, :, None], axis=1)
+            g = jnp.where(cn_mask, g, delta0)
+            f = _gf2m_wht(jnp.moveaxis(g, 1, -1))  # [slots, B, q]
+            f = f.reshape(code.m, code.dc_max, b, q)
+            # exact exclusion via prefix/suffix products over the dc axis
+            ones = jnp.ones((code.m, b, q), dtype)
+            pre = [ones]
+            for t in range(code.dc_max - 1):
+                pre.append(pre[-1] * f[:, t])
+            suf = [ones]
+            for t in range(code.dc_max - 1, 0, -1):
+                suf.append(suf[-1] * f[:, t])
+            suf.reverse()
+            excl = jnp.stack(
+                [pre[t] * suf[t] for t in range(code.dc_max)], axis=1
+            )
+            s = _gf2m_wht(excl.reshape(code.m * code.dc_max, b, q))
+            s = jnp.moveaxis(s, -1, 1)  # [slots, q, B]; inv WHT * q
+            out = jnp.take_along_axis(s, post_idx[:, :, None], axis=1)
         out = jnp.maximum(out, 0.0)  # clip tiny negative rounding residue
-        out = out / jnp.maximum(jnp.sum(out, axis=1, keepdims=True), eps)
-        return out
+        # log-domain output, UNNORMALIZED: the per-(slot, frame) scale is
+        # constant over q, so the VN's max-subtraction and the decision
+        # argmax are both invariant to it — the old sum+divide here and
+        # the softmax divide in vn_update were pure overhead.
+        return jnp.log(out + eps).astype(sdtype)
 
     def vn_update(c2v):
-        """c2v [M*dc_max, q, B] -> (v2c, log_post [N, q, B])."""
+        """c2v [M*dc_max, q, B] log-domain -> (v2c log, log_post)."""
         g = jnp.take(c2v, vn_gather, axis=0)  # [N*dv_max, q, B]
-        logg = jnp.where(vn_mask, jnp.log(g + eps), jnp.zeros_like(g))
+        logg = jnp.where(vn_mask, g.astype(dtype), jnp.zeros((), dtype))
         logg = logg.reshape(code.n, code.dv_max, q, b)
         zeros = jnp.zeros((code.n, q, b), dtype)
         pre = [zeros]
@@ -166,9 +301,9 @@ def decode_nb_qspa(
         excl = jnp.stack(
             [log_pri + pre[s] + suf[s] for s in range(code.dv_max)], axis=1
         )
-        v2c = jax.nn.softmax(excl, axis=2).reshape(
-            code.n * code.dv_max, q, b
-        )
+        # max-normalize (exp ≤ 1 at the CN) — no divide, see cn_update
+        excl = excl - jnp.max(excl, axis=2, keepdims=True)
+        v2c = excl.astype(sdtype).reshape(code.n * code.dv_max, q, b)
         log_post = log_pri + jnp.sum(logg, axis=1)
         return v2c, log_post
 
@@ -212,8 +347,9 @@ def decode_nb_qspa(
             acc = jnp.bitwise_xor(acc, hs[:, t])
         return jnp.all(acc == 0, axis=0)
 
+    lp0 = log_pri - jnp.max(log_pri, axis=1, keepdims=True)
     v2c0 = jnp.broadcast_to(
-        pri[:, None], (code.n, code.dv_max, q, b)
+        lp0.astype(sdtype)[:, None], (code.n, code.dv_max, q, b)
     ).reshape(code.n * code.dv_max, q, b)
 
     def step(v2c):

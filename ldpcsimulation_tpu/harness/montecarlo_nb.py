@@ -73,6 +73,7 @@ def simulate_nb(
     early_termination: bool = True,
     dtype=jnp.float32,
     max_batches: int = 100000,
+    storage_dtype=None,
 ) -> NBMCStats:
     """All-zero-codeword NB Monte-Carlo at one operating point.
 
@@ -98,7 +99,8 @@ def simulate_nb(
         )
         pri = symbol_priors(y, n0, q)
         res = decode_nb_qspa(
-            code, pri, num_iterations, early_termination=early_termination
+            code, pri, num_iterations, early_termination=early_termination,
+            storage_dtype=storage_dtype,
         )
         sym_errs = jnp.sum(res.symbols != 0, axis=1)
         bits = symbols_to_bits(res.symbols, q)

@@ -36,6 +36,7 @@ def make_nb_counters_step(
     batch_per_device: int,
     early_termination: bool = True,
     dtype=jnp.float32,
+    storage_dtype=None,
 ):
     """Jitted distributed NB Monte-Carlo step.
 
@@ -60,7 +61,8 @@ def make_nb_counters_step(
         y = 1.0 + sigma * jax.random.normal(key, (b, code.n, m_bits), dtype)
         pri = symbol_priors(y, n0, q)
         res = decode_nb_qspa(
-            code, pri, num_iterations, early_termination=early_termination
+            code, pri, num_iterations, early_termination=early_termination,
+            storage_dtype=storage_dtype,
         )
         sym_errs = jnp.sum(res.symbols != 0, axis=1)
         bits = symbols_to_bits(res.symbols, q)
@@ -112,6 +114,7 @@ def simulate_nb_distributed(
     seed: int = 0,
     early_termination: bool = True,
     max_batches: int = 100000,
+    storage_dtype=None,
 ) -> List[NBMCStats]:
     """All SNR points of an NB sweep concurrently on the mesh."""
     q = code.q
@@ -130,6 +133,7 @@ def simulate_nb_distributed(
         num_iterations=num_iterations,
         batch_per_device=batch_per_device,
         early_termination=early_termination,
+        storage_dtype=storage_dtype,
     )
     stats = [NBMCStats(n=code.n, q=q) for _ in snrs_db]
     root = jax.random.key(seed)

@@ -474,16 +474,20 @@ def main(argv: Optional[List[str]] = None) -> int:
            bytes_per_frame_iter=12 * 288 * 64 * 4, early_term=True)
 
     # NB FFT-QSPA on the reference's REAL non-binary codes (VERDICT r2 #5).
-    # Traffic model: q·E probability-vector messages move 4 edge-array
-    # passes per iteration (CN gather/emit, VN gather/emit) at f32, plus
-    # 2 int32 gather index streams and the q-vector priors/posteriors.
+    # Traffic model: q·E log-domain messages move 4 edge-array passes per
+    # iteration (CN gather/emit, VN gather/emit) at the f16 storage width
+    # (round 3: log-domain message plane, SER-identical to f32 — see
+    # decoders/nb_qspa.py), plus 2 int32 gather index streams and the
+    # q-vector f32 priors/posteriors.
     import os as _os
 
     for rel, label, snr_nb, bnb in [
         ("SystemC/NB-LDPC/codes/GF4/q4.sp.9000.6000.4500.1",
-         "FFT-QSPA GF(4) T<=20 REAL (9000,6000)sym @2.2dB", 2.2, 256),
+         "FFT-QSPA GF(4) T<=20 REAL (9000,6000)sym @2.2dB, log-f16", 2.2,
+         256),
         ("SystemC/NB-LDPC/codes/GF8/q8.sp.6000.4000.3000.1",
-         "FFT-QSPA GF(8) T<=20 REAL (6000,4000)sym @2.4dB", 2.4, 256),
+         "FFT-QSPA GF(8) T<=20 REAL (6000,4000)sym @2.4dB, log-f16", 2.4,
+         256),
     ]:
         p = _os.path.join("/root/reference", rel)
         if not _os.path.exists(p):
@@ -500,7 +504,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         n0r = float(snr_to_n0(snr_nb, rate_nb))
         sigr = float((n0r / 2) ** 0.5)
         nb_bytes = (
-            4 * e_nb * q_nb * 4 + 2 * e_nb * 4 + 2 * nbc.n * q_nb * 4
+            4 * e_nb * q_nb * 2 + 2 * e_nb * 4 + 2 * nbc.n * q_nb * 4
         )
         step, frames = mega(bnb, 2, lambda k, b, _c=nbc, _m=m_bits,
                             _q=q_nb, _n0=n0r, _s=sigr: jnp.sum(
@@ -513,6 +517,7 @@ def main(argv: Optional[List[str]] = None) -> int:
                     _n0, _q,
                 ),
                 20, early_termination=True,
+                storage_dtype=jnp.float16,
             ).symbols != 0))
         record(label, nbc.n, k_info, step, frames, 20,
                bytes_per_frame_iter=nb_bytes, early_term=True)

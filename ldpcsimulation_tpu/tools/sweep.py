@@ -499,6 +499,9 @@ def main(argv: Optional[List[str]] = None) -> int:
                 code, snr_db=snr, num_iterations=T, rate=rate,
                 stop=stop, batch_size=args.batch, seed=args.seed,
                 early_termination=args.early_termination,
+                storage_dtype=(
+                    jnp.float16 if args.msg_dtype == "f16" else None
+                ),
             )
             # NB row: SNR SER BER avgIters FER T alist
             row = "\t".join(
@@ -631,6 +634,7 @@ def _run_distributed(
             code, snrs, mesh, T, rate=rate, stop=stop,
             batch_per_device=args.batch, seed=args.seed,
             early_termination=args.early_termination,
+            storage_dtype=jnp.float16 if args.msg_dtype == "f16" else None,
         )
         for snr, st in zip(snrs, nb_stats):
             row = "\t".join(

@@ -125,6 +125,8 @@ def main() -> int:
         ("ngdbf_systemc", lambda: decode_ngdbf_systemc(
             code, y, 0.5, SystemCNGDBFConfig(10, -0.5), key=key).hard),
         ("nb_qspa", lambda: decode_nb_qspa(nb, pri, 5).symbols),
+        ("nb_qspa log-f16", lambda: decode_nb_qspa(
+            nb, pri, 5, storage_dtype=jnp.float16).symbols),
         ("nb_minsum", lambda: decode_nb_minsum(nb, pri, 5).symbols),
         ("nb_minmax", lambda: decode_nb_minsum(
             nb, pri, 5, variant="minmax").symbols),
