@@ -99,13 +99,17 @@ def decode_ddbmp(
         t, mem, d, iters, done = carry
         mem_new, d_new = one_round(mem)
         act = ~done
-        mem = jnp.where(act[None, :], mem_new, mem)
+        # decision-only masking: only the latched decision carry freezes —
+        # a satisfied frame's memories may keep evolving (frames are
+        # independent along the batch and d/iters are latched), saving a
+        # full memory-plane read+write per iteration (same finding as
+        # run_flooding_soft for BP/min-sum and the NB ET loop).
         d = jnp.where(act[None, :], d_new, d)
         sat = check_satisfied(code, d)
         newly = act & sat
         iters = jnp.where(newly, t, iters)  # break index, it = t
         done = done | sat
-        return (t + 1, mem, d, iters, done)
+        return (t + 1, mem_new, d, iters, done)
 
     _t, _mem, d, iters, done = jax.lax.while_loop(cond, body, init)
     return DecodeResult(hard=d.T, iterations=iters, satisfied=done)
@@ -216,13 +220,14 @@ def decode_ddbmp_qc(
         t, mem, d, iters, done = carry
         mem_new, d_new = one_round(mem)
         act = ~done
-        mem = jnp.where(act[None, None, None, :], mem_new, mem)
+        # decision-only masking (see decode_ddbmp): the memory planes of
+        # satisfied frames evolve freely; d/iters latch preserves outputs.
         d = jnp.where(act[None, None, :], d_new, d)
         sat = qc_check_satisfied(qc, d)
         newly = act & sat
         iters = jnp.where(newly, t, iters)  # break index, it = t
         done = done | sat
-        return (t + 1, mem, d, iters, done)
+        return (t + 1, mem_new, d, iters, done)
 
     _t, _mem, d, iters, done = jax.lax.while_loop(cond, body, init)
     return DecodeResult(hard=d.reshape(n, b).T, iterations=iters,

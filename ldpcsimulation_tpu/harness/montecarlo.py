@@ -150,6 +150,20 @@ class MCStats:
         ls = np.random.default_rng(seed).permutation(ls)
         return itdist_biased_sequence(ls, len(counts))
 
+    def incremental_report(self) -> str:
+        """Reference-style console line (decodeMinSum.cpp:291-297)."""
+        lines = [
+            f"Incremental result: {self.errors} bit errs in {self.total_words}"
+            f" words, BER={self.ber:.6g}. Average iterations = "
+            f"{self.avg_iterations:.6g}. Word error={self.word_errors}."
+            f" Uncoded errors = {self.uncoded_errors},"
+            f" uncBER={self.uncoded_ber:.6g}",
+            "Error weights:",
+        ]
+        for w in np.flatnonzero(self.error_weight_hist):
+            lines.append(f"{w + 1}:\t{self.error_weight_hist[w]}")
+        return "\n".join(lines)
+
 
 def itdist_biased_sequence(ls, length: int) -> np.ndarray:
     """The reference's itdist recurrence over an explicit frame sequence.
@@ -165,20 +179,6 @@ def itdist_biased_sequence(ls, length: int) -> np.ndarray:
     for w, l in enumerate(ls, 1):
         itdist[: l + 1] = ((w - 1.0) / w) * itdist[: l + 1] + 1.0 / w
     return itdist
-
-    def incremental_report(self) -> str:
-        """Reference-style console line (decodeMinSum.cpp:291-297)."""
-        lines = [
-            f"Incremental result: {self.errors} bit errs in {self.total_words}"
-            f" words, BER={self.ber:.6g}. Average iterations = "
-            f"{self.avg_iterations:.6g}. Word error={self.word_errors}."
-            f" Uncoded errors = {self.uncoded_errors},"
-            f" uncBER={self.uncoded_ber:.6g}",
-            "Error weights:",
-        ]
-        for w in np.flatnonzero(self.error_weight_hist):
-            lines.append(f"{w + 1}:\t{self.error_weight_hist[w]}")
-        return "\n".join(lines)
 
 
 def simulate(

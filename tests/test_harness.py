@@ -119,6 +119,24 @@ def test_simulate_minsum_highsnr(sim_code):
     assert weighted == stats.errors
 
 
+def test_simulate_verbose_incremental_report(sim_code, capsys):
+    """Regression: incremental_report was orphaned off MCStats during the
+    round-3 itdist refactor, crashing every --verbose single-device run."""
+    stats = simulate(
+        sim_code,
+        lambda y, key: decode_minsum(sim_code, y, num_iterations=5),
+        snr_db=-2.0,
+        stop=StopRule.fixed_frames(64),
+        batch_size=64,
+        seed=3,
+        verbose=True,
+    )
+    out = capsys.readouterr().out
+    assert "Incremental result:" in out and "Error weights:" in out
+    rpt = stats.incremental_report()
+    assert f"{stats.errors} bit errs in {stats.total_words}" in rpt
+
+
 def test_simulate_stoprule_terminates(sim_code):
     # at very low SNR errors accumulate immediately -> stops after ~1 batch
     stats = simulate(
