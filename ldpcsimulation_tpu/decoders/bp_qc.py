@@ -25,7 +25,7 @@ from .minsum_qc import (
     qc_slot_plan,
 )
 
-__all__ = ["decode_bp_qc"]
+__all__ = ["decode_bp_qc", "qc_bp_step"]
 
 
 def qc_cn_bp_slots(qc: QCCode, v2c):
@@ -72,6 +72,37 @@ def qc_cn_bp_slots(qc: QCCode, v2c):
     return c2v_slots
 
 
+def qc_bp_step(qc: QCCode, max_llr: float = MAXLLR, storage_dtype=None):
+    """The :func:`decode_bp_qc` iteration as a pure function of (messages,
+    channel term): ``step(v2c, yb) -> (v2c', totals)`` with ``yb`` the
+    ``[Nb, z, B]`` clamped-LLR planes.  Identical operations to the closure
+    inside :func:`decode_bp_qc` — factored out for drivers that replace the
+    channel term mid-decode (the streaming refill harness)."""
+    _, vn_plan = qc_slot_plan(qc)
+    dv_max = qc.dv_max
+
+    def step(v2c, yb):
+        # c2v slots stay unstacked; messages left-fold first, channel
+        # term last (the generic decoder's grouping, minsum.vn_update).
+        sdt = storage_dtype if storage_dtype is not None else yb.dtype
+        zero = jnp.zeros(yb.shape[1:], sdt)
+        slots = qc_cn_bp_slots(qc, v2c)
+        totals = []
+        planes = []
+        for bj in range(qc.nb):
+            total = yb[bj] + _vn_fold(vn_plan[bj], slots[bj])
+            totals.append(total)
+            pl = [
+                storage_cast(jnp.clip(total - sa, -max_llr, max_llr), sdt)
+                for sa in slots[bj]
+            ]
+            pl += [zero] * (dv_max - len(pl))
+            planes.append(jnp.stack(pl))
+        return jnp.stack(planes), jnp.stack(totals)
+
+    return step
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -103,28 +134,10 @@ def decode_bp_qc(
     v2c0 = jnp.broadcast_to(yb[:, None], (qc.nb, dv_max, qc.z, b)).astype(
         sdt
     )
-    zero = jnp.zeros((qc.z, b), sdt)
-    _, vn_plan = qc_slot_plan(qc)
-
-    def step(v2c):
-        # c2v slots stay unstacked; messages left-fold first, channel
-        # term last (the generic decoder's grouping, minsum.vn_update).
-        slots = qc_cn_bp_slots(qc, v2c)
-        totals = []
-        planes = []
-        for bj in range(qc.nb):
-            total = yb[bj] + _vn_fold(vn_plan[bj], slots[bj])
-            totals.append(total)
-            pl = [
-                storage_cast(jnp.clip(total - sa, -max_llr, max_llr), sdt)
-                for sa in slots[bj]
-            ]
-            pl += [zero] * (dv_max - len(pl))
-            planes.append(jnp.stack(pl))
-        return jnp.stack(planes), jnp.stack(totals)
+    step_y = qc_bp_step(qc, max_llr, storage_dtype)
 
     d, iters, done = run_flooding_soft(
-        yb, v2c0, step,
+        yb, v2c0, lambda v2c: step_y(v2c, yb),
         lambda d: qc_check_satisfied(qc, d),
         num_iterations, early_termination, b,
     )

@@ -42,7 +42,7 @@ from .base import (
     storage_cast,
 )
 
-__all__ = ["minsum_cn_update", "vn_update", "decode_minsum"]
+__all__ = ["minsum_cn_update", "minsum_step", "vn_update", "decode_minsum"]
 
 
 def minsum_cn_update(code: Code, v2c_flat: jax.Array) -> jax.Array:
@@ -127,6 +127,32 @@ def apply_offset(c2v_flat: jax.Array, delta: float) -> jax.Array:
     return jnp.where(mag > 0, sgn_pos(c2v_flat) * mag, jnp.zeros_like(c2v_flat))
 
 
+def minsum_step(
+    code: Code,
+    variant: str = "plain",
+    alpha: float = 1.0,
+    delta: float = 0.0,
+    storage_dtype=None,
+):
+    """The :func:`decode_minsum` iteration as a pure function of (messages,
+    channel term): ``step(v2c, y_t) -> (v2c', total)`` with ``y_t`` the
+    ``[N, B]`` channel samples.  Identical operations to the closure inside
+    :func:`decode_minsum` — factored out for drivers that replace the
+    channel term mid-decode (the streaming refill harness)."""
+
+    def step(v2c, y_t):
+        sdt = storage_dtype if storage_dtype is not None else y_t.dtype
+        c2v = minsum_cn_update(code, v2c)
+        if variant == "normalized":
+            c2v = apply_normalization(c2v, alpha)
+        elif variant == "offset":
+            c2v = apply_offset(c2v, delta)
+        v2c, total, _d = vn_update(code, y_t, c2v.astype(y_t.dtype))
+        return storage_cast(v2c, sdt), total
+
+    return step
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -167,18 +193,10 @@ def decode_minsum(
     # initializeSymMessages: every VN slot starts at the channel sample
     # (decodeMinSum.cpp:364-370).
     v2c0 = jnp.repeat(y_t, code.dv_max, axis=0).astype(sdt)
-
-    def step(v2c):
-        c2v = minsum_cn_update(code, v2c)
-        if variant == "normalized":
-            c2v = apply_normalization(c2v, alpha)
-        elif variant == "offset":
-            c2v = apply_offset(c2v, delta)
-        v2c, total, _d = vn_update(code, y_t, c2v.astype(y_t.dtype))
-        return storage_cast(v2c, sdt), total
+    step_y = minsum_step(code, variant, alpha, delta, storage_dtype)
 
     d, iters, done = run_flooding_soft(
-        y_t, v2c0, step,
+        y_t, v2c0, lambda v2c: step_y(v2c, y_t),
         lambda d: check_satisfied(code, d),
         num_iterations, early_termination, b,
     )

@@ -30,7 +30,7 @@ from ..codes.qc import QCCode
 from .base import DecodeResult, run_flooding_soft, sgn_pos, storage_cast
 
 __all__ = ["decode_minsum_qc", "qc_check_satisfied", "qc_cn_minsum",
-           "qc_cn_minsum_slots", "qc_slot_plan"]
+           "qc_cn_minsum_slots", "qc_minsum_step", "qc_slot_plan"]
 
 
 class _CNEntry:
@@ -308,6 +308,51 @@ def qc_check_satisfied(qc: QCCode, d):
     return ok
 
 
+def qc_minsum_step(
+    qc: QCCode,
+    variant: str = "plain",
+    alpha: float = 1.0,
+    delta: float = 0.0,
+    storage_dtype=None,
+):
+    """The :func:`decode_minsum_qc` iteration as a pure function of
+    (messages, channel term): ``step(v2c, yb) -> (v2c', totals)`` with
+    ``yb`` the ``[Nb, z, B]`` channel-sample planes.
+
+    Identical operations (and therefore bit-identical results) to the
+    closure inside :func:`decode_minsum_qc` — factored out so drivers that
+    REPLACE the channel term mid-decode (the streaming refill harness,
+    :mod:`...harness.stream`) share one definition with the batch decoder.
+    """
+    _, vn_plan = qc_slot_plan(qc)
+    dv_max = qc.dv_max
+
+    def step(v2c, yb):
+        """One flooding iteration.  Returns (v2c_new, totals).
+
+        The c2v slots stay unstacked expressions: each is consumed by the
+        per-block total (messages left-folded, channel term added last —
+        the generic decoder's exact grouping, see minsum.vn_update) and
+        by the extrinsic subtraction, which XLA CSEs into one fused
+        computation with no materialized [Nb, dv_max, z, B] c2v buffer.
+        """
+        sdt = storage_dtype if storage_dtype is not None else yb.dtype
+        zero = jnp.zeros(yb.shape[1:], sdt)
+        slots = qc_cn_minsum_slots(qc, v2c, variant, alpha, delta)
+        totals = []
+        planes = []
+        for bj in range(qc.nb):
+            accs = [s.astype(yb.dtype) for s in slots[bj]]
+            total = yb[bj] + _vn_fold(vn_plan[bj], accs)  # [z, B]
+            totals.append(total)
+            pl = [storage_cast(total - sa, sdt) for sa in accs]
+            pl += [zero] * (dv_max - len(pl))
+            planes.append(jnp.stack(pl))
+        return jnp.stack(planes), jnp.stack(totals)
+
+    return step
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -343,36 +388,13 @@ def decode_minsum_qc(
     yb = y_t.reshape(qc.nb, qc.z, b)
     dv_max = qc.dv_max
     sdt = storage_dtype if storage_dtype is not None else y_t.dtype
-    _, vn_plan = qc_slot_plan(qc)
 
     # initializeSymMessages: all slots start at the channel sample
     v2c0 = jnp.broadcast_to(yb[:, None], (qc.nb, dv_max, qc.z, b)).astype(sdt)
-    zero = jnp.zeros((qc.z, b), sdt)
-
-    def step(v2c):
-        """One flooding iteration.  Returns (v2c_new, totals).
-
-        The c2v slots stay unstacked expressions: each is consumed by the
-        per-block total (messages left-folded, channel term added last —
-        the generic decoder's exact grouping, see minsum.vn_update) and
-        by the extrinsic subtraction,
-        which XLA CSEs into one fused computation with no materialized
-        [Nb, dv_max, z, B] c2v buffer.
-        """
-        slots = qc_cn_minsum_slots(qc, v2c, variant, alpha, delta)
-        totals = []
-        planes = []
-        for bj in range(qc.nb):
-            accs = [s.astype(y_t.dtype) for s in slots[bj]]
-            total = yb[bj] + _vn_fold(vn_plan[bj], accs)  # [z, B]
-            totals.append(total)
-            pl = [storage_cast(total - sa, sdt) for sa in accs]
-            pl += [zero] * (dv_max - len(pl))
-            planes.append(jnp.stack(pl))
-        return jnp.stack(planes), jnp.stack(totals)
+    step_y = qc_minsum_step(qc, variant, alpha, delta, storage_dtype)
 
     d, iters, done = run_flooding_soft(
-        yb, v2c0, step,
+        yb, v2c0, lambda v2c: step_y(v2c, yb),
         lambda d: qc_check_satisfied(qc, d),
         num_iterations, early_termination, b,
     )

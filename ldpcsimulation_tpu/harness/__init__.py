@@ -27,3 +27,10 @@ __all__ = [
     "save_codeword_file",
 ]
 from .montecarlo_nb import NBMCStats, simulate_nb  # noqa: F401,E402
+from .stream import (  # noqa: F401,E402
+    StreamDecoder,
+    bp_qc_stream,
+    minsum_qc_stream,
+    minsum_stream,
+    simulate_stream,
+)

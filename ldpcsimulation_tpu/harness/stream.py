@@ -1,0 +1,462 @@
+"""Streaming early-termination harness: continuous refill of converged lanes.
+
+The batched masked ``lax.while_loop`` ET driver
+(:func:`..decoders.base.run_flooding_soft`) pays a *straggler tax*: the whole
+batch iterates until its slowest frame converges, so at 2 dB the flagship
+geometry executes ~28 iterations per lane against a 10.4 average — roughly
+half the wall-clock decodes already-satisfied frames (docs/PERF.md, BP ET
+124.2 vs fixed-T 252.0 Mbit/s).
+
+This driver removes the tax by keeping a persistent ``lanes``-wide decode
+state on device.  Every ``refill_every`` iterations, lanes whose frame has
+converged (or hit the iteration cap) are *retired* into on-device counters
+and *refilled* with fresh frames from a pre-generated channel pool, so the
+device always decodes active work.  Per-frame statistics are bit-identical
+to the batched harness (tests/test_stream.py asserts per-frame equality):
+
+  * Each frame's channel row is a pure function of ``(seed, frame index)``
+    — the same counter-based replayability contract as
+    :func:`.montecarlo.simulate` (replacing the reference's GSL state
+    snapshots, ``newstat.cpp:783-791``).
+  * The decoders here are deterministic and frames are independent along
+    the batch, so a frame's trajectory does not depend on *when* it is
+    scheduled into a lane — only scheduling changes, never results.
+  * The iteration count keeps the reference's definition (syndrome checked
+    before the first update — a frame satisfied at injection reports 0
+    iterations; ``decodeGDBF.cpp:300-306`` semantics, exactly as in
+    ``run_flooding_soft``), and capped frames run exactly T updates.
+
+The per-iteration machinery mirrors ``run_flooding_soft``'s measured policy:
+only the int8 decision carry is masked; a satisfied frame's message state
+evolves freely until its lane is refilled.
+
+Scope: deterministic soft message-passing decoders (min-sum variants and BP,
+generic slot-array and QC paths).  Decoders with per-iteration RNG (GDBF
+family) or internal accumulator statistics (DD-BMP) keep the batched
+harness, whose per-batch keying their parity tests pin down.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..codes.code import Code
+from ..codes.qc import QCCode
+from .montecarlo import MCStats, StopRule, default_min_word_errors
+
+__all__ = [
+    "StreamDecoder",
+    "minsum_qc_stream",
+    "bp_qc_stream",
+    "minsum_stream",
+    "stream_init",
+    "make_stream_call",
+    "build_channel_pool",
+    "simulate_stream",
+]
+
+
+@dataclasses.dataclass(frozen=True)
+class StreamDecoder:
+    """A decoder exposed at iteration granularity for the stream driver.
+
+    All callables operate in the decoder's internal layout with the batch
+    on the LAST axis (see decoders/base.py).
+
+    prep(rows [B, N]) -> ych        — channel term in decoder layout; for
+                                      soft decoders ych IS the iteration-0
+                                      posterior (decisions = its sign).
+    init(ych) -> msgs               — initial message pytree.
+    step(msgs, ych) -> (msgs, total)
+    satisfied(d) -> [B] bool        — all parity checks pass (d any int ±1).
+    hard(d) -> [N, B]               — decisions in bit order.
+    """
+
+    prep: Callable
+    init: Callable
+    step: Callable
+    satisfied: Callable
+    hard: Callable
+
+
+def minsum_qc_stream(
+    qc: QCCode,
+    variant: str = "plain",
+    alpha: float = 1.0,
+    delta: float = 0.0,
+    storage_dtype=None,
+) -> StreamDecoder:
+    """Stream adapter for :func:`..decoders.minsum_qc.decode_minsum_qc`
+    (same step function object — bit-identical arithmetic)."""
+    from ..decoders.minsum_qc import (
+        qc_check_satisfied,
+        qc_minsum_step,
+    )
+
+    def prep(rows):
+        return rows.T.reshape(qc.nb, qc.z, -1)
+
+    def init(ych):
+        sdt = storage_dtype if storage_dtype is not None else ych.dtype
+        shape = (qc.nb, qc.dv_max) + ych.shape[1:]
+        return jnp.broadcast_to(ych[:, None], shape).astype(sdt)
+
+    return StreamDecoder(
+        prep=prep,
+        init=init,
+        step=qc_minsum_step(qc, variant, alpha, delta, storage_dtype),
+        satisfied=lambda d: qc_check_satisfied(qc, d),
+        hard=lambda d: d.reshape(qc.n, -1),
+    )
+
+
+def bp_qc_stream(
+    qc: QCCode, max_llr: Optional[float] = None, storage_dtype=None
+) -> StreamDecoder:
+    """Stream adapter for :func:`..decoders.bp_qc.decode_bp_qc`.  Pool rows
+    must be LLRs (``preprocess=llr_from_channel`` in
+    :func:`simulate_stream`); ``prep`` applies the same ±max_llr input
+    clamp as the batch decoder."""
+    from ..decoders.bp import MAXLLR
+    from ..decoders.bp_qc import qc_bp_step
+    from ..decoders.minsum_qc import qc_check_satisfied
+
+    ml = MAXLLR if max_llr is None else max_llr
+
+    def prep(rows):
+        return jnp.clip(rows.T, -ml, ml).reshape(qc.nb, qc.z, -1)
+
+    def init(ych):
+        sdt = storage_dtype if storage_dtype is not None else ych.dtype
+        shape = (qc.nb, qc.dv_max) + ych.shape[1:]
+        return jnp.broadcast_to(ych[:, None], shape).astype(sdt)
+
+    return StreamDecoder(
+        prep=prep,
+        init=init,
+        step=qc_bp_step(qc, ml, storage_dtype),
+        satisfied=lambda d: qc_check_satisfied(qc, d),
+        hard=lambda d: d.reshape(qc.n, -1),
+    )
+
+
+def minsum_stream(
+    code: Code,
+    variant: str = "plain",
+    alpha: float = 1.0,
+    delta: float = 0.0,
+    storage_dtype=None,
+) -> StreamDecoder:
+    """Stream adapter for the generic slot-array
+    :func:`..decoders.minsum.decode_minsum`."""
+    from ..decoders.base import check_satisfied
+    from ..decoders.minsum import minsum_step
+
+    def prep(rows):
+        return rows.T
+
+    def init(ych):
+        sdt = storage_dtype if storage_dtype is not None else ych.dtype
+        return jnp.repeat(ych, code.dv_max, axis=0).astype(sdt)
+
+    return StreamDecoder(
+        prep=prep,
+        init=init,
+        step=minsum_step(code, variant, alpha, delta, storage_dtype),
+        satisfied=lambda d: check_satisfied(code, d),
+        hard=lambda d: d,
+    )
+
+
+def _sign8(x):
+    """Posterior sign decision as int8 (±1), the sgn(0) = -1 form shared
+    with run_flooding_soft's ``d_of`` (total > 0)."""
+    return jnp.where(x > 0, 1, -1).astype(jnp.int8)
+
+
+def _merge(mask_b, new, old):
+    """Per-leaf select with a [B] mask broadcast over leading axes (batch
+    rides last everywhere)."""
+    return jax.tree.map(
+        lambda nw, od: jnp.where(
+            mask_b.reshape((1,) * (nw.ndim - 1) + (-1,)), nw, od
+        ),
+        new,
+        old,
+    )
+
+
+def stream_init(dec: StreamDecoder, lanes: int, n: int, dtype=jnp.float32):
+    """All-idle initial lane state: the first boundary of the first call
+    fills every lane from the pool."""
+    rows = jnp.zeros((lanes, n), dtype)
+    ych = dec.prep(rows)
+    return dict(
+        msgs=dec.init(ych),
+        ych=ych,
+        d=_sign8(ych),
+        done=jnp.ones((lanes,), bool),
+        idle=jnp.ones((lanes,), bool),
+        iters=jnp.zeros((lanes,), jnp.int32),
+        unc=jnp.zeros((lanes,), jnp.int32),
+        gid=jnp.full((lanes,), -1, jnp.int32),
+    )
+
+
+def make_stream_call(
+    dec: StreamDecoder,
+    n: int,
+    num_iterations: int,
+    rounds: int,
+    refill_every: int = 1,
+    record: bool = False,
+    rec_cap: int = 0,
+):
+    """Build the jitted persistent-state call.
+
+    call(state, pool, pool_unc, pool_sat0, base) ->
+        (state', acc, rec) — runs ``rounds`` boundary+iterate cycles
+    (``rounds * refill_every`` decoder iterations).  ``state`` is donated.
+
+    acc: on-device int32 counters/histograms for frames retired during the
+    call (a frame is retired exactly once, at the first boundary after it
+    converges or caps).  ``acc['consumed']`` = pool rows consumed; the
+    caller advances its global frame counter by it — unconsumed rows are
+    regenerated verbatim next call (pure function of frame index).
+
+    With ``record=True``, per-retired-frame (gid, iters, errs) triples are
+    scattered into ``rec`` arrays in retire order (first ``acc['rc']``
+    entries valid, capacity ``rec_cap``; the extra trailing slot absorbs
+    masked writes) — the hook the per-frame equality tests use.
+
+    Counter width: int32 — safe while frames-per-call × n < 2**31 (a pool
+    would not fit in HBM long before that bound matters).
+    """
+    T = num_iterations
+    K = refill_every
+
+    def boundary(st, ptr, acc, rec, rc, pool, pool_unc, pool_sat0, base):
+        d, done, idle, iters = st["d"], st["done"], st["idle"], st["iters"]
+        hard = dec.hard(d)  # [N, B]
+        errs = jnp.sum(hard != 1, axis=0, dtype=jnp.int32)  # [B]
+        retire = (done | (iters >= T)) & ~idle
+        ri = retire.astype(jnp.int32)
+        word = (errs > 0).astype(jnp.int32)
+        acc = dict(
+            acc,
+            frames=acc["frames"] + jnp.sum(ri, dtype=jnp.int32),
+            bit_errs=acc["bit_errs"] + jnp.sum(errs * ri, dtype=jnp.int32),
+            word_errs=acc["word_errs"] + jnp.sum(ri * word, dtype=jnp.int32),
+            iter_sum=acc["iter_sum"] + jnp.sum(iters * ri, dtype=jnp.int32),
+            sat=acc["sat"] + jnp.sum(ri * done.astype(jnp.int32), dtype=jnp.int32),
+            unc_sum=acc["unc_sum"] + jnp.sum(st["unc"] * ri, dtype=jnp.int32),
+            iter_hist=acc["iter_hist"].at[jnp.clip(iters, 0, T)].add(ri),
+            weight_hist=acc["weight_hist"]
+            .at[jnp.clip(errs, 0, n)]
+            .add(ri * word),
+        )
+        if record:
+            rrank = jnp.cumsum(ri, dtype=jnp.int32) - 1
+            pos = rc + rrank
+            valid = retire & (pos < rec_cap)
+            p = jnp.where(valid, pos, rec_cap)
+            rec = dict(
+                gid=rec["gid"].at[p].set(st["gid"]),
+                iters=rec["iters"].at[p].set(iters),
+                errs=rec["errs"].at[p].set(errs),
+            )
+            rc = rc + jnp.sum(ri, dtype=jnp.int32)
+
+        # refill retired + idle lanes from the pool, in lane order
+        want = retire | idle
+        ranks = jnp.cumsum(want, dtype=jnp.int32) - 1
+        can = want & (ranks < pool.shape[0] - ptr)
+        local = jnp.where(can, ptr + ranks, 0)
+        rows = jnp.take(pool, local, axis=0)  # [B, N]
+        ych_new = dec.prep(rows)
+        st_new = dict(
+            msgs=_merge(can, dec.init(ych_new), st["msgs"]),
+            ych=_merge(can, ych_new, st["ych"]),
+            d=_merge(can, _sign8(ych_new), st["d"]),
+            done=jnp.where(can, jnp.take(pool_sat0, local), done)
+            | (want & ~can),
+            idle=want & ~can,
+            iters=jnp.where(can, 0, iters),
+            unc=jnp.where(can, jnp.take(pool_unc, local), st["unc"]),
+            gid=jnp.where(can, base + ptr + ranks, st["gid"]),
+        )
+        ptr = ptr + jnp.sum(can, dtype=jnp.int32)
+        return st_new, ptr, acc, rec, rc
+
+    def iterate(st):
+        # decision-only masking, as in run_flooding_soft: msgs always
+        # advance; d/iters freeze once done (or capped).
+        act = (~st["done"]) & (st["iters"] < T)
+        msgs, total = dec.step(st["msgs"], st["ych"])
+        d = _merge(act, _sign8(total), st["d"])
+        return dict(
+            st,
+            msgs=msgs,
+            d=d,
+            iters=st["iters"] + act.astype(jnp.int32),
+            done=st["done"] | dec.satisfied(d),
+        )
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def call(state, pool, pool_unc, pool_sat0, base):
+        acc = dict(
+            frames=jnp.int32(0),
+            bit_errs=jnp.int32(0),
+            word_errs=jnp.int32(0),
+            iter_sum=jnp.int32(0),
+            sat=jnp.int32(0),
+            unc_sum=jnp.int32(0),
+            iter_hist=jnp.zeros((T + 1,), jnp.int32),
+            weight_hist=jnp.zeros((n + 1,), jnp.int32),
+        )
+        rec = (
+            dict(
+                gid=jnp.full((rec_cap + 1,), -1, jnp.int32),
+                iters=jnp.zeros((rec_cap + 1,), jnp.int32),
+                errs=jnp.zeros((rec_cap + 1,), jnp.int32),
+            )
+            if record
+            else None
+        )
+
+        def round_body(_r, carry):
+            st, ptr, acc, rec, rc = carry
+            st, ptr, acc, rec, rc = boundary(
+                st, ptr, acc, rec, rc, pool, pool_unc, pool_sat0, base
+            )
+            st = jax.lax.fori_loop(0, K, lambda _j, s: iterate(s), st)
+            return st, ptr, acc, rec, rc
+
+        st, ptr, acc, rec, rc = jax.lax.fori_loop(
+            0, rounds, round_body, (state, jnp.int32(0), acc, rec, jnp.int32(0))
+        )
+        acc = dict(acc, consumed=ptr, rc=rc)
+        return st, acc, rec
+
+    return call
+
+
+def build_channel_pool(
+    dec: StreamDecoder,
+    root,
+    base: int,
+    pool_frames: int,
+    n: int,
+    sigma: float,
+    preprocess=None,
+    dtype=jnp.float32,
+):
+    """[F, N] decoder-input rows for global frame ids base..base+F-1.
+
+    Frame i's channel is a pure function of (root, i):
+    ``y = 1 + sigma * normal(fold_in(root, i), [N])`` — the all-zero
+    codeword, for which the reference's multiplicative and additive AWGN
+    forms coincide (x = +1: ``x*(1+σn) == x+σn``, decodeBP.cpp:184 /
+    LDPC_testbench.h:144-149).  ``preprocess`` maps raw samples to decoder
+    input (LLR / quantizer), as in :func:`.montecarlo.simulate`.
+
+    Returns (rows, uncoded [F] int32, sat0 [F] bool).  ``sat0`` is the
+    iteration-0 syndrome of each frame, precomputed once here so lane
+    refill needs no extra per-boundary syndrome pass.
+    """
+    gids = base + jnp.arange(pool_frames)
+    keys = jax.vmap(jax.random.fold_in, in_axes=(None, 0))(root, gids)
+    noise = jax.vmap(lambda kk: jax.random.normal(kk, (n,), dtype))(keys)
+    y = (1.0 + sigma * noise).astype(dtype)
+    # uncoded decision r = (y > 0 ? +1 : -1) vs c = +1 (montecarlo.simulate)
+    unc = jnp.sum(y <= 0, axis=1, dtype=jnp.int32)
+    rows = preprocess(y) if preprocess is not None else y
+    sat0 = dec.satisfied(_sign8(dec.prep(rows)))
+    return rows, unc, sat0
+
+
+def simulate_stream(
+    code_n: int,
+    dec: StreamDecoder,
+    snr_db: float,
+    rate: float,
+    num_iterations: int,
+    stop: Optional[StopRule] = None,
+    lanes: int = 4096,
+    refill_every: int = 1,
+    rounds_per_call: int = 64,
+    pool_frames: Optional[int] = None,
+    avg_iters_hint: float = 8.0,
+    seed: int = 0,
+    preprocess=None,
+    dtype=jnp.float32,
+    verbose: bool = False,
+    max_calls: int = 100000,
+) -> MCStats:
+    """Monte-Carlo loop over the streaming driver (all-zero codewords).
+
+    Same stopping semantics as :func:`.montecarlo.simulate`, evaluated
+    between device calls; statistics count *retired* frames only (frames
+    in flight when the stop rule fires are dropped — frames are iid, so
+    this is unbiased, and every counted frame is complete).
+
+    ``pool_frames`` defaults to the expected per-call consumption
+    (lanes × iterations / avg_iters_hint) + one lane width of slack;
+    undersized pools just idle lanes at the call tail (correct, slower),
+    oversized pools waste generation.
+    """
+    from ..channel.awgn import snr_to_sigma
+
+    stop = stop or StopRule(min_word_errors=default_min_word_errors(code_n))
+    sigma = float(snr_to_sigma(snr_db, rate))
+    root = jax.random.key(seed)
+    iters_per_call = rounds_per_call * refill_every
+    if pool_frames is None:
+        pool_frames = lanes + int(
+            lanes * iters_per_call / max(avg_iters_hint, 1.0)
+        )
+
+    state = stream_init(dec, lanes, code_n, dtype)
+    call = make_stream_call(
+        dec, code_n, num_iterations, rounds_per_call, refill_every
+    )
+    @jax.jit
+    def pool_fn(base_):
+        # dec holds plain functions (not a pytree) — close over it
+        return build_channel_pool(
+            dec, root, base_, pool_frames, code_n, sigma, preprocess, dtype
+        )
+
+    stats = MCStats(n=code_n)
+    stats.iteration_hist = np.zeros(num_iterations + 1, np.int64)
+    t0 = time.perf_counter()
+    base = 0
+    for ci in range(max_calls):
+        if stop.done(stats.errors, stats.word_errors, stats.total_words):
+            break
+        pool, unc, sat0 = pool_fn(jnp.int32(base))
+        state, acc, _rec = call(state, pool, unc, sat0, jnp.int32(base))
+        a = jax.device_get(acc)
+        stats.total_words += int(a["frames"])
+        stats.total_bits += int(a["frames"]) * code_n
+        stats.errors += int(a["bit_errs"])
+        stats.word_errors += int(a["word_errs"])
+        stats.total_iterations += int(a["iter_sum"])
+        stats.satisfied_words += int(a["sat"])
+        stats.uncoded_errors += int(a["unc_sum"])
+        stats.iteration_hist += np.asarray(a["iter_hist"], np.int64)
+        stats.error_weight_hist[: code_n] += np.asarray(
+            a["weight_hist"][1:], np.int64
+        )
+        base += int(a["consumed"])
+        if verbose:
+            print(stats.incremental_report())
+    stats.wall_seconds = time.perf_counter() - t0
+    return stats

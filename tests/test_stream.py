@@ -1,0 +1,214 @@
+"""Streaming refill harness: per-frame bit-exact equality vs batch decoding.
+
+The contract (harness/stream.py): scheduling frames through persistent
+refilled lanes changes NOTHING per frame — decisions, iteration counts,
+and every derived counter match a plain batched early-termination decode
+of the same channel rows.  These tests drive the stream call directly with
+``record=True`` and compare per-frame (iters, errs) against the batch
+decoders, across refill cadences, multiple calls (in-flight frames crossing
+call boundaries), and pool exhaustion (idle lanes).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ldpcsimulation_tpu.channel.awgn import llr_from_channel, snr_to_n0, snr_to_sigma
+from ldpcsimulation_tpu.codes.library import load_named_code
+from ldpcsimulation_tpu.codes.qc import qc_peg
+from ldpcsimulation_tpu.decoders.bp_qc import decode_bp_qc
+from ldpcsimulation_tpu.decoders.minsum import decode_minsum
+from ldpcsimulation_tpu.decoders.minsum_qc import decode_minsum_qc
+from ldpcsimulation_tpu.harness.stream import (
+    build_channel_pool,
+    bp_qc_stream,
+    make_stream_call,
+    minsum_qc_stream,
+    minsum_stream,
+    simulate_stream,
+    stream_init,
+)
+from ldpcsimulation_tpu.harness.montecarlo import StopRule
+
+
+QC = qc_peg(8, 4, 3, z=16, seed=0)  # (128, 64)
+SNR, RATE = 2.5, 0.5
+SIGMA = float(snr_to_sigma(SNR, RATE))
+N0 = float(snr_to_n0(SNR, RATE))
+T = 12
+
+
+def run_stream(dec, n, pools, lanes, rounds, refill_every, preprocess=None):
+    """Drive the raw stream call over a list of (base, F) pools; return
+    {gid: (iters, errs)} for every retired frame plus the summed counters."""
+    root = jax.random.key(7)
+    state = stream_init(dec, lanes, n)
+    rec_cap = max(f for _b, f in pools) + lanes
+    call = make_stream_call(
+        dec, n, T, rounds, refill_every, record=True, rec_cap=rec_cap
+    )
+    per_frame = {}
+    totals = dict(frames=0, bit_errs=0, iter_sum=0, word_errs=0)
+    for base, f in pools:
+        pool, unc, sat0 = build_channel_pool(
+            dec, root, base, f, n, SIGMA, preprocess
+        )
+        state, acc, rec = call(state, pool, unc, sat0, jnp.int32(base))
+        a = jax.device_get(acc)
+        r = jax.device_get(rec)
+        rc = int(a["rc"])
+        assert rc <= rec_cap
+        for g, it, er in zip(
+            r["gid"][:rc], r["iters"][:rc], r["errs"][:rc]
+        ):
+            assert int(g) >= 0
+            assert int(g) not in per_frame, "frame retired twice"
+            per_frame[int(g)] = (int(it), int(er))
+        for k in totals:
+            totals[k] += int(a[k])
+        # histograms must agree with the per-frame records
+        ih = np.zeros(T + 1, np.int64)
+        wh = np.zeros(n + 1, np.int64)
+        for g, it, er in zip(r["gid"][:rc], r["iters"][:rc], r["errs"][:rc]):
+            ih[int(it)] += 1
+            if int(er) > 0:
+                wh[int(er)] += 1
+        np.testing.assert_array_equal(ih, np.asarray(a["iter_hist"]))
+        np.testing.assert_array_equal(wh, np.asarray(a["weight_hist"]))
+    assert totals["frames"] == len(per_frame)
+    assert totals["bit_errs"] == sum(e for _i, e in per_frame.values())
+    assert totals["iter_sum"] == sum(i for i, _e in per_frame.values())
+    assert totals["word_errs"] == sum(
+        1 for _i, e in per_frame.values() if e > 0
+    )
+    return per_frame
+
+
+def reference_frames(dec, n, n_frames, decode_rows, preprocess=None):
+    """Batch-decode the same per-frame channel rows; per-frame truth."""
+    root = jax.random.key(7)
+    rows, _unc, _sat0 = build_channel_pool(
+        dec, root, 0, n_frames, n, SIGMA, preprocess
+    )
+    res = decode_rows(rows)
+    hard = np.asarray(res.hard)
+    iters = np.asarray(res.iterations)
+    errs = (hard != 1).sum(axis=1)
+    return {g: (int(iters[g]), int(errs[g])) for g in range(n_frames)}
+
+
+def check_equal(per_frame, ref, min_covered):
+    assert len(per_frame) >= min_covered
+    for g, v in per_frame.items():
+        assert ref[g] == v, (g, ref[g], v)
+
+
+@pytest.mark.parametrize("refill_every", [1, 3])
+def test_minsum_qc_stream_matches_batch(refill_every):
+    dec = minsum_qc_stream(QC, storage_dtype=jnp.float16)
+    ref = reference_frames(
+        dec,
+        QC.n,
+        192,
+        lambda rows: decode_minsum_qc(
+            QC, rows, T, early_termination=True, storage_dtype=jnp.float16
+        ),
+    )
+    # two calls with small pools: frames cross the call boundary in flight,
+    # and the second pool exhausts mid-call (idle-lane path)
+    per_frame = run_stream(
+        dec, QC.n, [(0, 96), (96, 96)], lanes=32, rounds=30,
+        refill_every=refill_every,
+    )
+    check_equal(per_frame, ref, min_covered=150)
+
+
+def test_minsum_qc_stream_exhaustion_then_refill():
+    # tiny pool forces most lanes idle; a later call revives them
+    dec = minsum_qc_stream(QC)
+    ref = reference_frames(
+        dec, QC.n, 80,
+        lambda rows: decode_minsum_qc(QC, rows, T, early_termination=True),
+    )
+    per_frame = run_stream(
+        dec, QC.n, [(0, 16), (16, 64)], lanes=32, rounds=25, refill_every=1
+    )
+    check_equal(per_frame, ref, min_covered=60)
+
+
+def test_bp_qc_stream_matches_batch():
+    dec = bp_qc_stream(QC, storage_dtype=jnp.float16)
+    pre = lambda y: llr_from_channel(y, N0)  # noqa: E731
+    ref = reference_frames(
+        dec, QC.n, 128,
+        lambda rows: decode_bp_qc(
+            QC, rows, T, early_termination=True, storage_dtype=jnp.float16
+        ),
+        preprocess=pre,
+    )
+    per_frame = run_stream(
+        dec, QC.n, [(0, 128)], lanes=32, rounds=40, refill_every=2,
+        preprocess=pre,
+    )
+    check_equal(per_frame, ref, min_covered=110)
+
+
+def test_minsum_generic_stream_matches_batch():
+    code = load_named_code("peg_96_48")
+    dec = minsum_stream(code, variant="normalized", alpha=1.25)
+    ref = reference_frames(
+        dec, code.n, 96,
+        lambda rows: decode_minsum(
+            code, rows, T, variant="normalized", alpha=1.25,
+            early_termination=True,
+        ),
+    )
+    per_frame = run_stream(
+        dec, code.n, [(0, 96)], lanes=24, rounds=40, refill_every=1
+    )
+    check_equal(per_frame, ref, min_covered=80)
+
+
+def test_simulate_stream_stats_match_per_frame_truth():
+    """End-to-end wrapper: aggregate MCStats equal the batch-decoded truth
+    over the frames the stream retired (stop rule honored)."""
+    dec = minsum_qc_stream(QC)
+    stats = simulate_stream(
+        QC.n, dec, SNR, RATE, T,
+        stop=StopRule(min_bit_errors=50, min_word_errors=5),
+        lanes=32, rounds_per_call=16, refill_every=1, pool_frames=64,
+        seed=0,
+    )
+    assert stats.total_words > 0
+    assert stats.errors >= 50 and stats.word_errors >= 5
+    # every counter internally consistent
+    assert stats.total_bits == stats.total_words * QC.n
+    assert stats.iteration_hist.sum() == stats.total_words
+    assert int(
+        (stats.iteration_hist * np.arange(T + 1)).sum()
+    ) == stats.total_iterations
+    assert stats.error_weight_hist.sum() == stats.word_errors
+    # gid-level equality of the raw call against batch truth (seed 7 via
+    # run_stream/reference_frames)
+    f_total = stats.total_words + 96
+    ref = reference_frames(
+        dec, QC.n, f_total,
+        lambda rows: decode_minsum_qc(QC, rows, T, early_termination=True),
+    )
+    per_frame = run_stream(
+        dec, QC.n, [(0, f_total)], lanes=32, rounds=60, refill_every=1
+    )
+    for g, v in per_frame.items():
+        assert ref[g] == v
+
+
+def test_stream_uncoded_counter():
+    """Uncoded error accumulation matches sign-counting on raw samples."""
+    dec = minsum_qc_stream(QC)
+    root = jax.random.key(7)
+    rows, unc, _ = build_channel_pool(dec, root, 0, 64, QC.n, SIGMA)
+    y = np.asarray(rows)
+    np.testing.assert_array_equal(
+        np.asarray(unc), (y <= 0).sum(axis=1).astype(np.int32)
+    )
