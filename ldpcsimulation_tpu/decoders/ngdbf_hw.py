@@ -132,17 +132,26 @@ def hw_quantize_int(x, nl: float, lmax: float):
 class NGDBFHwResult:
     """hard [B,N] ±1 bipolar, from the phase with least errors;
     iterations [B] = least iterations over phases; satisfied [B] = last
-    phase's syndrome state; least_errors [B] vs the true codeword."""
+    phase's syndrome state; least_errors [B] vs the true codeword;
+    qpointer [B] = the ring pointer at exit — the reference's ``qpointer``
+    persists across frames (declared outside the frame loop,
+    ``NGDBFhw.cpp:153``, wrapped only at ``:356-358``), so a run that
+    reproduces that persistence feeds this back as the next frame's
+    ``qpointer0`` (per batch lane; see harness/montecarlo.simulate's
+    ``stateful_decode``)."""
 
     hard: jax.Array
     iterations: jax.Array
     satisfied: jax.Array
     least_errors: jax.Array
+    qpointer: jax.Array
 
 
 jax.tree_util.register_dataclass(
     NGDBFHwResult,
-    data_fields=["hard", "iterations", "satisfied", "least_errors"],
+    data_fields=[
+        "hard", "iterations", "satisfied", "least_errors", "qpointer"
+    ],
     meta_fields=[],
 )
 
@@ -340,4 +349,5 @@ def decode_ngdbf_hw(
         iterations=st["least_iters"],
         satisfied=satisfied,
         least_errors=st["least_errs"],
+        qpointer=st["qptr"],
     )

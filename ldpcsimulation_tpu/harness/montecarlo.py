@@ -196,6 +196,7 @@ def simulate(
     verbose: bool = False,
     report_every_batches: int = 1,
     max_batches: int = 100000,
+    decode_carry0=None,
 ) -> MCStats:
     """Run the Monte-Carlo loop for one operating point.
 
@@ -205,6 +206,14 @@ def simulate(
     frame-by-frame (the ``data.enc`` fixture), else all-zero codewords.
     ``rate`` defaults to the code's design rate k/n (the reference requires
     it on every command line).
+
+    ``decode_carry0``: optional initial carry pytree enabling STATEFUL
+    decoding — the decoder then has signature
+    ``decode_fn(inp, key, carry) -> (DecodeResult, carry')`` and the carry
+    is threaded on-device between successive batches (per batch lane).
+    Used for NGDBFhw's cross-frame noise-ring pointer persistence
+    (``NGDBFhw.cpp:153, 356-358``: ``qpointer`` is declared outside the
+    frame loop — each lane models one serial hardware decoder).
     """
     rate = code.rate if rate is None else rate
     stop = stop or StopRule(min_word_errors=default_min_word_errors(code.n))
@@ -222,25 +231,29 @@ def simulate(
     EXTRA_FIELDS = ("smoothing_used", "phases", "least_errors")
 
     @jax.jit
-    def batch_step(key, bits):
+    def batch_step(key, bits, carry):
         kch, kdec = jax.random.split(key)
         x = bpsk(bits).astype(dtype)  # [B, N] bipolar
         y = awgn(kch, x, sigma, form=awgn_form, dtype=dtype)
         r = jnp.where(y > 0, 1, -1).astype(jnp.int32)
         c = x.astype(jnp.int32)
         inp = preprocess(y) if preprocess is not None else y
-        res = decode_fn(inp, kdec)
+        if decode_carry0 is not None:
+            res, carry = decode_fn(inp, kdec, carry)
+        else:
+            res = decode_fn(inp, kdec)
         frame_errs = jnp.sum(res.hard != c, axis=1).astype(jnp.int32)
         uncoded = jnp.sum(r != c, axis=1).astype(jnp.int32)
         extras = {
             k: getattr(res, k) for k in EXTRA_FIELDS if hasattr(res, k)
         }
-        return frame_errs, uncoded, res.iterations, res.satisfied, extras
+        return frame_errs, uncoded, res.iterations, res.satisfied, extras, carry
 
     stats = MCStats(n=code.n)
     t0 = time.perf_counter()
     batch_idx = 0
     frame_offset = 0
+    carry = decode_carry0
     while not stop.done(stats.errors, stats.word_errors, stats.total_words):
         if batch_idx >= max_batches:
             break
@@ -257,8 +270,11 @@ def simulate(
         else:
             bits = jnp.zeros((batch_size, code.n), jnp.uint8)
         key = jax.random.fold_in(root, batch_idx)
+        frame_errs, uncoded, iters, satisfied, extras, carry = batch_step(
+            key, bits, carry
+        )
         frame_errs, uncoded, iters, satisfied, extras = jax.device_get(
-            batch_step(key, bits)
+            (frame_errs, uncoded, iters, satisfied, extras)
         )
         if b < batch_size:
             frame_errs = frame_errs[:b]

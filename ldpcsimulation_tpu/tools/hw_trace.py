@@ -48,13 +48,18 @@ def trace_ngdbf_hw(
     max_iterations: Optional[int] = None,
     yint_override: Optional[np.ndarray] = None,
     qint_override: Optional[np.ndarray] = None,
+    qpointer0: int = 0,
 ):
     """Decode one frame, writing LOG_PROCESSING-style records to ``out``.
 
     y: [N] raw channel samples; ring_noise: [ring_len] raw σ'·n draws.
     yint_override/qint_override: already-quantized unpacked integers (the
     ±(2·mag+1) domain) — for replaying a reference LOG_PROCESSING capture
-    bit-exactly.  Returns (d_bits, iterations, satisfied).
+    bit-exactly.  ``qpointer0``: starting ring offset — the reference's
+    ``qpointer`` persists ACROSS frames (declared outside the frame loop,
+    ``NGDBFhw.cpp:153``, wrapped only at ``:356-358``), so a multi-frame
+    replay chains each frame's returned pointer into the next call.
+    Returns (d_bits, iterations, satisfied, final_qpointer).
     """
     n, m = code.n, code.m
     lmax, nl, nq = cfg.lmax, cfg.nl, cfg.nq
@@ -92,7 +97,7 @@ def trace_ngdbf_hw(
     for v in qint:
         out.write(f"\t{_pack_bits(v, nq)}\n")
 
-    qptr = 0
+    qptr = qpointer0 % ring_mod
     satisfied = False
     it = 0
     while it < T:
@@ -133,4 +138,4 @@ def trace_ngdbf_hw(
         if qptr >= ring_mod:
             qptr = 0
         it += 1
-    return d, it, satisfied
+    return d, it, satisfied, qptr

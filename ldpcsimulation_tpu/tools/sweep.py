@@ -145,6 +145,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--lam", type=float, nargs="+", default=[None])
     p.add_argument("--window", type=int, default=64)
     p.add_argument("--max-phases", type=int, default=None)
+    p.add_argument(
+        "--persistent-qpointer", action="store_true",
+        help="NGDBFhw: carry the noise-ring pointer across frames per "
+             "batch lane (NGDBFhw.cpp:153,356-358 exactness; default off "
+             "— statistically invisible and slower, see decoder docs)",
+    )
     p.add_argument("--uniform-noise", action="store_true",
                    help="variance-matched uniform perturbation noise "
                         "(the reference's -DUNIFORM NGDBF builds, e.g. "
@@ -279,7 +285,8 @@ def main(argv: Optional[List[str]] = None) -> int:
         if dense_worthwhile(code):
             dense = DenseGraph.from_code(code)
 
-    def run_point(snr, decode_fn, preprocess=None, stop_override=None):
+    def run_point(snr, decode_fn, preprocess=None, stop_override=None,
+                  carry0=None):
         return simulate(
             code,
             decode_fn,
@@ -291,6 +298,7 @@ def main(argv: Optional[List[str]] = None) -> int:
             preprocess=preprocess,
             codewords=codewords,
             verbose=args.verbose,
+            decode_carry0=carry0,
         )
 
     if args.distributed:
@@ -531,13 +539,36 @@ def main(argv: Optional[List[str]] = None) -> int:
                 ring_len=max(2648, code.n + 600),
             )
             # NGDBFhw runs a fixed frame count (NGDBFhw.cpp:193)
-            stats = run_point(
-                snr,
-                lambda y, key: decode_ngdbf_hw(
-                    code, y, sigma, cfg, key=key, dense=dense, qc=qc
-                ),
-                stop_override=StopRule.fixed_frames(args.frames),
-            )
+            if args.persistent_qpointer:
+                # cross-frame ring-pointer persistence (NGDBFhw.cpp:153,
+                # 356-358): each batch lane models one serial hardware
+                # decoder; the pointer threads between batches via the
+                # harness carry.  Per-lane offsets force the gathered ring
+                # access path (statistically invisible, measurably slower
+                # — see decoders/ngdbf_hw.py).
+                import jax.numpy as _jnp
+
+                stats = run_point(
+                    snr,
+                    lambda y, key, carry: (
+                        lambda res: (res, res.qpointer)
+                    )(
+                        decode_ngdbf_hw(
+                            code, y, sigma, cfg, key=key, dense=dense,
+                            qc=qc, qpointer0=carry,
+                        )
+                    ),
+                    stop_override=StopRule.fixed_frames(args.frames),
+                    carry0=_jnp.zeros((args.batch,), _jnp.int32),
+                )
+            else:
+                stats = run_point(
+                    snr,
+                    lambda y, key: decode_ngdbf_hw(
+                        code, y, sigma, cfg, key=key, dense=dense, qc=qc
+                    ),
+                    stop_override=StopRule.fixed_frames(args.frames),
+                )
             row = ngdbfhw_log_row(
                 snr, stats, T, cfg.theta0, cfg.noise_scale, cfg.w,
                 cfg.ymax, cfg.nq, cfg.max_phases, args.seed,

@@ -368,6 +368,7 @@ def ngdbf_hw_decode(
         iterations=least_iters,
         least_errors=least_errs,
         satisfied=satisfied,
+        final_qpointer=qptr,
     )
 
 

@@ -149,3 +149,57 @@ def test_ngdbfhw_qc_ops_bit_exact():
         np.testing.assert_array_equal(
             np.asarray(a.least_errors), np.asarray(b.least_errors)
         )
+
+
+def test_ngdbf_hw_persistent_qpointer_chain(hcode, rng):
+    """Cross-frame ring-pointer persistence (NGDBFhw.cpp:153, 356-358):
+    the decoder returns its final per-lane qpointer; chaining it as the
+    next frame's qpointer0 matches a serial oracle run that carries the
+    pointer the same way — and the chained second frame genuinely differs
+    from an unchained one (persistence is observable)."""
+    a, code = hcode
+    b = 3
+    cfg = NGDBFHwConfig(
+        num_iterations=25, w=0.25, ymax=1.5, noise_scale=0.9,
+        theta0=-0.5, nq=5, ring_len=150,
+    )
+    sigma = float(snr_to_sigma(3.0, 0.75))
+    qp = np.zeros(b, int)
+    qp_jax = jnp.zeros((b,), jnp.int32)
+    diverged = False
+    for frame in range(3):
+        y = np.ones((b, a.n)) * (1.0 + sigma * rng.normal(size=(b, a.n)))
+        ring = rng.normal(
+            0.0, sigma * cfg.noise_scale, size=(cfg.ring_len, b)
+        )
+        res = decode_ngdbf_hw(
+            code, jnp.asarray(y), sigma, cfg, key=jax.random.key(0),
+            ring_noise=jnp.asarray(ring), qpointer0=qp_jax,
+        )
+        res_un = decode_ngdbf_hw(
+            code, jnp.asarray(y), sigma, cfg, key=jax.random.key(0),
+            ring_noise=jnp.asarray(ring),
+        )
+        for f in range(b):
+            ref = oracle.ngdbf_hw_decode(
+                a, y[f], sigma, ring[:, f], T=cfg.num_iterations,
+                w=cfg.w, ymax=cfg.ymax, theta0=cfg.theta0, nq=cfg.nq,
+                qpointer0=int(qp[f]),
+            )
+            np.testing.assert_array_equal(
+                np.asarray(res.hard)[f],
+                [1 - 2 * bb for bb in ref["d"]],
+                err_msg=f"frame {frame} lane {f}",
+            )
+            assert int(np.asarray(res.iterations)[f]) == ref["iterations"]
+            assert (
+                int(np.asarray(res.qpointer)[f]) == ref["final_qpointer"]
+            ), f"frame {frame} lane {f}"
+            qp[f] = ref["final_qpointer"]
+        if frame > 0 and np.any(
+            np.asarray(res.hard) != np.asarray(res_un.hard)
+        ):
+            diverged = True
+        qp_jax = res.qpointer
+    assert np.any(qp != 0)
+    assert diverged, "chained decode never differed from unchained"

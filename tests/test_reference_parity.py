@@ -476,9 +476,13 @@ def test_reference_nb_gf4_code_decodes():
 
 def test_ngdbfhw_bit_exact_vs_reference_log(ref_bins, tmp_path):
     """BIT-EXACT cross-validation: compile NGDBFhw with -DLOG_PROCESSING,
-    capture its quantized channel word and noise ring for one frame, replay
-    them through our integer-domain trace, and require every per-node
-    per-iteration flip metric E and flip decision to match exactly."""
+    capture its quantized channel words and noise rings for THREE
+    consecutive frames, replay them through our integer-domain trace, and
+    require every per-node per-iteration flip metric E and flip decision to
+    match exactly — including the noise-ring pointer that PERSISTS across
+    frames (``qpointer`` is declared outside the frame loop,
+    ``NGDBFhw.cpp:153``, wrapped only at ``:356-358``), which is observable
+    from frame 2 onward."""
     from ldpcsimulation_tpu.decoders.ngdbf_hw import NGDBFHwConfig
     from ldpcsimulation_tpu.tools.hw_trace import trace_ngdbf_hw
     import io
@@ -496,10 +500,16 @@ def test_ngdbfhw_bit_exact_vs_reference_log(ref_bins, tmp_path):
     hw = tmp_path / "NGDBFhw_log"
     # the reference's LOG_PROCESSING code does not compile on modern g++
     # (`abs(unsigned long)` ambiguity); abs of unsigned is the identity, so
-    # patch a scratch copy for the capture build
+    # patch a scratch copy for the capture build.  The dumps are gated to
+    # the first frame (``if (totalWords==0)``, NGDBFhw.cpp:262,305); the
+    # same scratch copy ungates them so frames 2+ are captured too — a
+    # logging-only change, the decoding algorithm is untouched.
     patched = tmp_path / "NGDBFhw_patched.cpp"
     patched.write_text(
-        open(f"{src}/src/NGDBFhw.cpp").read().replace("abs(yul)", "yul")
+        open(f"{src}/src/NGDBFhw.cpp")
+        .read()
+        .replace("abs(yul)", "yul")
+        .replace("if (totalWords==0) {", "if (true) {")
     )
     try:
         subprocess.run(
@@ -512,8 +522,9 @@ def test_ngdbfhw_bit_exact_vs_reference_log(ref_bins, tmp_path):
 
     log = str(tmp_path / "cap")
     snr = "4"  # cout renders 4.0 as "4" in the dump filenames
+    n_frames = 3
     subprocess.run(
-        [str(hw), alist_path, snr, "1", "20260817", log],
+        [str(hw), alist_path, snr, str(n_frames), "20260817", log],
         check=True, capture_output=True, timeout=300, cwd=str(tmp_path),
     )
 
@@ -530,58 +541,79 @@ def test_ngdbfhw_bit_exact_vs_reference_log(ref_bins, tmp_path):
 
     yint = unpack_lines(f"{log}_{snr}_chanin.dat")
     qint = unpack_lines(f"{log}_{snr}_noise.dat")
-    assert len(yint) == 2048 and len(qint) == 2648
+    assert len(yint) == n_frames * 2048 and len(qint) == n_frames * 2648
 
-    # parse per-iteration E and flip vectors from the reference dump
-    ref_iters = []
-    cur_e, cur_f = None, None
-    for line in open(f"{log}_{snr}_msgs.dat"):
-        if line.startswith("IT "):
-            if cur_e is not None:
-                ref_iters.append((cur_e, cur_f))
-            cur_e, cur_f = [], []
-        m = re.match(r"\tE: (-?\d+)", line)
-        if m and cur_e is not None:
-            cur_e.append(int(m.group(1)))
-        m = re.match(r"\tflip: (\d)", line)
-        if m and cur_f is not None:
-            cur_f.append(int(m.group(1)))
-    if cur_e is not None:
-        ref_iters.append((cur_e, cur_f))
-    assert len(ref_iters) >= 1 and len(ref_iters[0][0]) == 2048
+    def parse_iters(lines):
+        """[(E[2048], flip[2048])] per logged iteration, split into frames
+        at each 'IT 0' header."""
+        frames, cur = [], []
+        cur_e, cur_f = None, None
+        for line in lines:
+            m = re.match(r"IT (\d+)", line)
+            if m:
+                if cur_e is not None:
+                    cur.append((cur_e, cur_f))
+                if int(m.group(1)) == 0 and cur:
+                    frames.append(cur)
+                    cur = []
+                cur_e, cur_f = [], []
+            m = re.match(r"\tE: (-?\d+)", line)
+            if m and cur_e is not None:
+                cur_e.append(int(m.group(1)))
+            m = re.match(r"\tflip: (\d)", line)
+            if m and cur_f is not None:
+                cur_f.append(int(m.group(1)))
+        if cur_e is not None:
+            cur.append((cur_e, cur_f))
+        if cur:
+            frames.append(cur)
+        return frames
 
-    # replay through our integer trace with the captured words
+    ref_frames = parse_iters(open(f"{log}_{snr}_msgs.dat"))
+    assert len(ref_frames) >= 2, "need >=2 decoded frames for persistence"
+    assert len(ref_frames[0][0][0]) == 2048
+    ref_flat = [it for fr in ref_frames for it in fr]
+
+    # replay all frames through our integer trace, chaining the ring
+    # pointer exactly as the reference does.  Frames are compared as one
+    # flattened iteration stream (a frame satisfied at iteration 0 logs
+    # nothing on either side), with the per-frame split cross-checked.
     code = build_code(load_alist(alist_path))
     cfg = NGDBFHwConfig()  # 802.3an defaults incl. theta/Smult derivation
-    buf = io.StringIO()
-    d_bits, iters, sat = trace_ngdbf_hw(
-        code, None, 0.0, cfg, None, buf,
-        yint_override=yint, qint_override=qint,
+    qp = 0
+    qp_seen = []
+    our_flat = []
+    our_nonempty = 0
+    for f in range(n_frames):
+        buf = io.StringIO()
+        _d, _it, _sat, qp_next = trace_ngdbf_hw(
+            code, None, 0.0, cfg, None, buf,
+            yint_override=yint[f * 2048:(f + 1) * 2048],
+            qint_override=qint[f * 2648:(f + 1) * 2648],
+            qpointer0=qp,
+        )
+        ours = [
+            it for fr in parse_iters(buf.getvalue().splitlines())
+            for it in fr
+        ]
+        our_flat.extend(ours)
+        our_nonempty += bool(ours)
+        qp_seen.append(qp)
+        qp = qp_next
+    assert our_nonempty == len(ref_frames), (
+        f"frame split differs: ours {our_nonempty} nonempty frames "
+        f"vs reference {len(ref_frames)}"
     )
-    # our trace text carries the same E/flip records; parse identically
-    our_iters = []
-    cur_e, cur_f = None, None
-    for line in buf.getvalue().splitlines():
-        if line.startswith("IT "):
-            if cur_e is not None:
-                our_iters.append((cur_e, cur_f))
-            cur_e, cur_f = [], []
-        m = re.match(r"\tE: (-?\d+)", line)
-        if m and cur_e is not None:
-            cur_e.append(int(m.group(1)))
-        m = re.match(r"\tflip: (\d)", line)
-        if m and cur_f is not None:
-            cur_f.append(int(m.group(1)))
-    if cur_e is not None:
-        our_iters.append((cur_e, cur_f))
-
-    assert len(our_iters) == len(ref_iters), (
-        f"iteration count differs: ours {len(our_iters)} "
-        f"vs reference {len(ref_iters)}"
+    assert len(our_flat) == len(ref_flat), (
+        f"iteration stream length differs: ours {len(our_flat)} "
+        f"vs reference {len(ref_flat)} (qpointers {qp_seen})"
     )
-    for it, ((re_, rf), (oe, of)) in enumerate(zip(ref_iters, our_iters)):
-        assert oe == re_, f"E mismatch at iteration {it}"
-        assert of == rf, f"flip mismatch at iteration {it}"
+    for it, ((re_, rf), (oe, of)) in enumerate(zip(ref_flat, our_flat)):
+        assert oe == re_, f"E mismatch at stream position {it}"
+        assert of == rf, f"flip mismatch at stream position {it}"
+    # persistence must actually be observable: at least one later frame
+    # started at a non-zero ring offset
+    assert any(q != 0 for q in qp_seen[1:]), qp_seen
 
 
 def test_minsum_matches_reference_on_mackay_4000(ref_bins, tmp_path):

@@ -255,7 +255,7 @@ def test_hw_trace_matches_decoder(rng, tmp_path):
     y = np.ones(code.n) * (1 + sigma * rng.normal(size=code.n))
     ring = rng.normal(0.0, sigma * cfg.noise_scale, size=cfg.ring_len)
     buf = io.StringIO()
-    d_bits, iters, sat = trace_ngdbf_hw(code, y, sigma, cfg, ring, buf)
+    d_bits, iters, sat, _qp = trace_ngdbf_hw(code, y, sigma, cfg, ring, buf)
     res = decode_ngdbf_hw(
         code, jnp.asarray(y)[None, :], sigma, cfg,
         key=jax.random.key(0), ring_noise=jnp.asarray(ring)[:, None],
