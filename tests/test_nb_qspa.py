@@ -232,3 +232,59 @@ def test_simulate_nb_gf4():
     assert 0 < stats.avg_iterations <= 20
     # decoded symbol errors never exceed bit errors x m and >= bit errs / m
     assert stats.bit_errors <= 2 * stats.symbol_errors
+
+
+@pytest.mark.parametrize("q", [4, 8])
+def test_fused_cn_matches_butterfly_and_f16(q, rng, monkeypatch):
+    """The fused perm+WHT CN combines (both variants: the per-class static
+    unroll for q<=4 and the sign-table broadcast for q<=8) and f16 message
+    storage are DECISION-identical to the plain butterfly/f32 path on a
+    noisy batch — symbols, iteration counts, and satisfied flags all match.
+    Guards future edits to _wht_sign_tables/_class_combine/_signed_combine
+    off-TPU (advisor r3)."""
+    from ldpcsimulation_tpu.decoders import nb_qspa as nbq
+
+    a = nb_regular(48, 24, 3, q=q, seed=4)
+    code = build_code(a)
+    m_bits = q.bit_length() - 1
+    snr = 3.0 if q == 4 else 3.5
+    n0 = float(snr_to_n0(snr, 0.5))
+    sigma = float(snr_to_sigma(snr, 0.5))
+    y = 1.0 + sigma * rng.normal(size=(24, 48, m_bits))
+    pri = symbol_priors(jnp.asarray(y, jnp.float32), n0, q)
+
+    def run(fused_qmax, storage):
+        monkeypatch.setattr(nbq, "_FUSED_QMAX", fused_qmax)
+        nbq.decode_nb_qspa.clear_cache()  # same static signature otherwise
+        res = nbq.decode_nb_qspa(
+            code, pri, num_iterations=25, early_termination=True,
+            storage_dtype=storage,
+        )
+        return (
+            np.asarray(res.symbols),
+            np.asarray(res.iterations),
+            np.asarray(res.satisfied),
+        )
+
+    base = run(8, None)
+    butterfly = run(0, None)
+    f16 = run(8, jnp.float16)
+    butterfly_f16 = run(0, jnp.float16)
+    nbq.decode_nb_qspa.clear_cache()
+    # fused vs butterfly at MATCHED storage: identical everything
+    for got, ref, name in [
+        (butterfly, base, "butterfly/f32 vs fused/f32"),
+        (butterfly_f16, f16, "butterfly/f16 vs fused/f16"),
+    ]:
+        for g_arr, r_arr, field in zip(got, ref, ("symbols", "iterations",
+                                                  "satisfied")):
+            np.testing.assert_array_equal(
+                g_arr, r_arr, err_msg=f"{name}: {field} differs"
+            )
+    # f16 storage vs f32: decisions may flip on near-ties only — the
+    # measured contract is SER-equivalence (docs/PERF.md), not bit equality
+    sym_delta = (f16[0] != base[0]).mean()
+    assert sym_delta < 0.01, f"f16 changed {sym_delta:.2%} of symbols"
+    assert abs((f16[0] != 0).mean() - (base[0] != 0).mean()) < 0.01
+    # the batch is genuinely noisy: some frames need several iterations
+    assert base[1].max() >= 3
