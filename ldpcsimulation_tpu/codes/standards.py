@@ -24,11 +24,18 @@ class, our own girth-optimized shifts), the tables here reproduce the
   final weight-1 column).  This is the standard's own encoding of the code,
   3 orders of magnitude smaller than the expanded alist.
 
-The z=81 (n=1944) 802.11n variant is NOT shipped: the standard defines a
-*different* shift table per expansion factor, the reference repo contains
-no n=1944 data to extract it from, and this framework does not invent
-numbers it cannot verify.  ``library.load_named_qc("wifi_like_1944_972")``
-provides a same-class girth-6 ensemble code for that geometry.
+* :data:`WIFI_1944_RATE12_Z81` — the IEEE 802.11n rate-1/2, n=1944 (z=81)
+  prototype shift table (IEEE Std 802.11-2012 Annex F; the standard
+  defines a *different* table per expansion factor, so this is NOT the
+  z=27 table rescaled).  The reference repo ships no n=1944 data, so
+  unlike the z=27 table there is no file to diff against; the table is
+  instead pinned by the standard's own structural invariants, every one
+  of which is asserted in ``tests/test_standards.py``: 12×24 base with
+  shifts < 81, the dual-diagonal accumulator (cols 13–23, all shift 0),
+  the weight-3 encoding column 12 with equal first/last shifts and a 0
+  mid-entry (the property the standard's one-pass encoder requires — the
+  z=27 table shows the same 26/0/26 pattern), full GF(2) rank 972, girth
+  6, and a dual-diagonal encoder whose outputs satisfy H·c = 0.
 """
 
 from __future__ import annotations
@@ -43,8 +50,12 @@ from .qc import QCCode, build_qc_code
 
 __all__ = [
     "WIFI_648_RATE12_Z27",
+    "WIFI_1944_RATE12_Z81",
     "wifi_648_rate12_qc",
     "wifi_648_rate12",
+    "wifi_1944_rate12_qc",
+    "wifi_1944_rate12",
+    "wifi_encode",
     "DVBS2_RATE12_ADDRESSES",
     "DVBS2_RATE12_Q",
     "dvbs2_rate12_alist",
@@ -84,6 +95,92 @@ def wifi_648_rate12_qc() -> QCCode:
 def wifi_648_rate12() -> Code:
     """The real 802.11n (648, 324) code as a generic slot-array Code."""
     return wifi_648_rate12_qc().to_code()
+
+
+# IEEE 802.11n rate-1/2, z=81 (n=1944, k=972) prototype matrix (IEEE Std
+# 802.11-2012 Annex F).  Same conventions as WIFI_648_RATE12_Z27; see the
+# module docstring for the verification story (no reference file exists
+# for this size — the standard's structural invariants pin the table).
+WIFI_1944_RATE12_Z81 = (
+    (57, -1, -1, -1, 50, -1, 11, -1, 50, -1, 79, -1, 1, 0, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1),
+    (3, -1, 28, -1, 0, -1, -1, -1, 55, 7, -1, -1, -1, 0, 0, -1, -1, -1, -1, -1, -1, -1, -1, -1),
+    (30, -1, -1, -1, 24, 37, -1, -1, 56, 14, -1, -1, -1, -1, 0, 0, -1, -1, -1, -1, -1, -1, -1, -1),
+    (62, 53, -1, -1, 53, -1, -1, 3, 35, -1, -1, -1, -1, -1, -1, 0, 0, -1, -1, -1, -1, -1, -1, -1),
+    (40, -1, -1, 20, 66, -1, -1, 22, 28, -1, -1, -1, -1, -1, -1, -1, 0, 0, -1, -1, -1, -1, -1, -1),
+    (0, -1, -1, -1, 8, -1, 42, -1, 50, -1, -1, 8, -1, -1, -1, -1, -1, 0, 0, -1, -1, -1, -1, -1),
+    (69, 79, 79, -1, -1, -1, 56, -1, 52, -1, -1, -1, 0, -1, -1, -1, -1, -1, 0, 0, -1, -1, -1, -1),
+    (65, -1, -1, -1, 38, 57, -1, -1, 72, -1, 27, -1, -1, -1, -1, -1, -1, -1, -1, 0, 0, -1, -1, -1),
+    (64, -1, -1, -1, 14, 52, -1, -1, 30, -1, -1, 32, -1, -1, -1, -1, -1, -1, -1, -1, 0, 0, -1, -1),
+    (-1, 45, -1, 70, 0, -1, -1, -1, 77, 9, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1, 0, 0, -1),
+    (2, 56, -1, 57, 35, -1, -1, -1, -1, -1, 12, 40, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1, 0, 0),
+    (24, -1, 61, -1, 60, -1, -1, 27, 51, -1, -1, 16, 1, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1, 0),
+)
+
+
+@functools.lru_cache(maxsize=None)
+def wifi_1944_rate12_qc() -> QCCode:
+    """The real 802.11n (1944, 972) rate-1/2 code as a QC structure."""
+    return build_qc_code(np.array(WIFI_1944_RATE12_Z81, np.int64), 81)
+
+
+def wifi_1944_rate12() -> Code:
+    """The real 802.11n (1944, 972) code as a generic slot-array Code."""
+    return wifi_1944_rate12_qc().to_code()
+
+
+def wifi_encode(base, z: int, info_bits: np.ndarray) -> np.ndarray:
+    """Systematic 802.11n encoder via the dual-diagonal structure.
+
+    ``base``: prototype shift table (rows × 24, −1 = absent); info_bits:
+    [..., kb*z].  Returns [..., nb*z] codewords with H·c = 0 — the
+    standard's own encoding recipe: with parity blocks p_0..p_{mb−1},
+    summing all base rows cancels the accumulator chain and leaves
+    ``Σ_i A_i·s + P_{x}(p_0) = 0`` where P_x is the weight-3 column's
+    repeated shift x (x = x ⟹ p_0 recoverable by the inverse shift), then
+    the rows are back-substituted down the staircase.  Used as a
+    structural self-check (a wrong shift table would break H·c = 0 only
+    if the dual-diagonal assumptions fail) and for codeword fixtures.
+    """
+    base = np.asarray(base)
+    mb, nb = base.shape
+    kb = nb - mb
+    info = np.asarray(info_bits, np.uint8) % 2
+    lead = info.shape[:-1]
+    assert info.shape[-1] == kb * z
+    s = info.reshape(lead + (kb, z))
+
+    def shift(block, sh):
+        return np.roll(block, -sh, axis=-1)
+
+    # lambda_i = sum_j A_ij s_j  (info part of each base row)
+    lam = np.zeros(lead + (mb, z), np.uint8)
+    for i in range(mb):
+        for j in range(kb):
+            if base[i, j] >= 0:
+                lam[..., i, :] ^= shift(s[..., j, :], base[i, j])
+    # weight-3 column kb: rows (top, mid, bot) with shifts (x, 0, x)
+    wcol = [i for i in range(mb) if base[i, kb] >= 0]
+    assert len(wcol) == 3
+    top, mid, bot = wcol
+    x = base[top, kb]
+    assert base[bot, kb] == x and base[mid, kb] == 0
+    # XOR of all rows: every dual-diagonal parity appears twice and
+    # cancels; p0's three terms reduce to σ_x ⊕ σ_0 ⊕ σ_x = σ_0 → p0.
+    p0 = lam.sum(axis=-2).astype(np.uint8) % 2
+    # forward substitution down the staircase: row i reads
+    # λ_i ⊕ σ_{base[i,kb]}(p0) ⊕ p_i ⊕ p_{i+1} = 0  (p_0-terms where
+    # present, p_i absent at i=0), so p_{i+1} is a running XOR.
+    p = np.zeros(lead + (mb, z), np.uint8)
+    p[..., 0, :] = p0
+    run = np.zeros(lead + (z,), np.uint8)
+    for i in range(mb - 1):
+        term = lam[..., i, :].copy()
+        if base[i, kb] >= 0:
+            term = term ^ shift(p0, base[i, kb])
+        run = run ^ term
+        p[..., i + 1, :] = run
+    cw = np.concatenate([s, p], axis=-2).reshape(lead + (nb * z,))
+    return cw
 
 
 # DVB-S2 rate-1/2 accumulator addresses (ETSI EN 302 307 Annex B/C form):
