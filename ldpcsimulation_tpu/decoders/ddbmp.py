@@ -29,7 +29,7 @@ import jax.numpy as jnp
 from ..codes.code import Code
 from .base import DecodeResult, check_satisfied, gather_cn, gather_vn, sgn_pos, vma_like
 
-__all__ = ["decode_ddbmp", "decode_ddbmp_qc"]
+__all__ = ["decode_ddbmp", "decode_ddbmp_qc", "decode_ddbmp_stratified"]
 
 
 @functools.partial(jax.jit, static_argnames=("num_iterations",))
@@ -232,3 +232,89 @@ def decode_ddbmp_qc(
     _t, _mem, d, iters, done = jax.lax.while_loop(cond, body, init)
     return DecodeResult(hard=d.reshape(n, b).T, iterations=iters,
                         satisfied=done)
+
+
+@functools.partial(jax.jit, static_argnames=("num_iterations",))
+def decode_ddbmp_stratified(
+    sc, yq: jax.Array, num_iterations: int
+) -> DecodeResult:
+    """Gather-free DD-BMP on a stratified code (same semantics as
+    :func:`decode_ddbmp`; the VN<->CN movement rides the MXU one-hot
+    interleaver, see :mod:`..codes.stratified`) — the universal fallback
+    for unstructured matrices that fail QC detection.
+
+    Bit-exact with the generic decoder on the same H for ANY slot order,
+    by the same argument as :func:`decode_ddbmp_qc`: messages are ±1 and
+    the accumulator sums add small exact f32 values, so no
+    reduction-order rounding exists to preserve.  The einsum moves ±1/0
+    payloads exactly (single-term sums at Precision.HIGHEST).
+    """
+    from .minsum_stratified import (
+        stratified_check_satisfied,
+        stratified_to_cn,
+        stratified_to_vn,
+    )
+
+    y_t = jnp.asarray(yq).T  # [N, B]
+    n, b = y_t.shape
+    assert n == sc.n, (n, sc.n)
+    safe_slot = jnp.maximum(sc.col_slot, 0)
+    yg = jnp.take(y_t, safe_slot.reshape(-1), axis=0).reshape(
+        sc.kg, sc.w, b
+    )
+    yg = jnp.where((sc.col_slot >= 0)[..., None], yg, 0.0)
+    vnv = sc.vn_valid[..., None]
+    cnv = sc.cn_valid[..., None]
+    mem0 = jnp.where(
+        vnv, jnp.broadcast_to(yg[None], (sc.mb, sc.kg, sc.w, b)), 0.0
+    ).astype(y_t.dtype)
+    d0 = jnp.where(yg > 0, 1, -1).astype(jnp.int32)
+    sign_y = sgn_pos(yg)
+
+    def one_round(mem):
+        s2c = jnp.where(vnv, sgn_pos(mem), 0.0)
+        g = stratified_to_cn(sc, s2c)  # [mb, h, kg, B]
+        g = jnp.where(cnv, g, jnp.ones_like(g))
+        # sign product with exclusion-by-self (values ±1, order-free)
+        prod = jnp.prod(g, axis=2, keepdims=True)
+        c2v_cn = jnp.where(cnv, prod * g, 0.0)
+        c2v = stratified_to_vn(sc, c2v_cn)  # [mb, kg, w, B]
+        c2v = jnp.where(vnv, c2v, 0.0)
+        # left fold FROM y (decodeDDBMP.cpp:399-407)
+        total = yg
+        for s in range(sc.mb):
+            total = total + c2v[s]
+        # mem + (sum - msg), NOT (mem + sum) - msg (decodeDDBMP.cpp:413)
+        mem_new = jnp.where(vnv, mem + (total[None] - c2v), 0.0)
+        out_signs = jnp.where(vnv, sgn_pos(mem_new), 0.0)
+        dsum = sign_y + jnp.sum(out_signs, axis=0)
+        d = jnp.where(dsum > 0, 1, -1).astype(jnp.int32)
+        return mem_new, d
+
+    init = (
+        jnp.int32(0),
+        mem0,
+        d0,
+        vma_like(jnp.full((b,), num_iterations, jnp.int32), d0),
+        vma_like(jnp.zeros((b,), bool), d0),
+    )
+
+    def cond(carry):
+        t, _mem, _d, _iters, done = carry
+        return (t < num_iterations) & ~jnp.all(done)
+
+    def body(carry):
+        t, mem, d, iters, done = carry
+        mem_new, d_new = one_round(mem)
+        act = ~done
+        # decision-only masking (see decode_ddbmp)
+        d = jnp.where(act[None, None, :], d_new, d)
+        sat = stratified_check_satisfied(sc, d)
+        newly = act & sat
+        iters = jnp.where(newly, t, iters)  # break index, it = t
+        done = done | sat
+        return (t + 1, mem_new, d, iters, done)
+
+    _t, _mem, d, iters, done = jax.lax.while_loop(cond, body, init)
+    hard = jnp.take(d.reshape(sc.kg * sc.w, b), sc.pos_of_col, axis=0)
+    return DecodeResult(hard=hard.T, iterations=iters, satisfied=done)

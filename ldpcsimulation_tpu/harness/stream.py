@@ -111,7 +111,9 @@ def minsum_qc_stream(
     return StreamDecoder(
         prep=prep,
         init=init,
-        step=qc_minsum_step(qc, variant, alpha, delta, storage_dtype),
+        step=_upcast_step(
+            qc_minsum_step(qc, variant, alpha, delta, storage_dtype)
+        ),
         satisfied=lambda d: qc_check_satisfied(qc, d),
         hard=lambda d: d.reshape(qc.n, -1),
     )
@@ -141,7 +143,7 @@ def bp_qc_stream(
     return StreamDecoder(
         prep=prep,
         init=init,
-        step=qc_bp_step(qc, ml, storage_dtype),
+        step=_upcast_step(qc_bp_step(qc, ml, storage_dtype)),
         satisfied=lambda d: qc_check_satisfied(qc, d),
         hard=lambda d: d.reshape(qc.n, -1),
     )
@@ -169,10 +171,25 @@ def minsum_stream(
     return StreamDecoder(
         prep=prep,
         init=init,
-        step=minsum_step(code, variant, alpha, delta, storage_dtype),
+        step=_upcast_step(
+            minsum_step(code, variant, alpha, delta, storage_dtype)
+        ),
         satisfied=lambda d: check_satisfied(code, d),
         hard=lambda d: d,
     )
+
+
+def _upcast_step(step):
+    """Wrap a step so a reduced-precision (f16 pool) channel term is
+    consumed at float32 — the conversion is exact and XLA fuses it into
+    the term's consumers, so storing ych narrow halves its HBM traffic
+    without touching arithmetic."""
+
+    def wrapped(msgs, ych):
+        return step(msgs, ych.astype(jnp.promote_types(ych.dtype,
+                                                       jnp.float32)))
+
+    return wrapped
 
 
 def _sign8(x):
@@ -195,11 +212,13 @@ def _merge(mask_b, new, old):
 
 def stream_init(dec: StreamDecoder, lanes: int, n: int, dtype=jnp.float32):
     """All-idle initial lane state: the first boundary of the first call
-    fills every lane from the pool."""
+    fills every lane from the pool.  ``dtype`` must match the pool row
+    dtype (``pool_dtype`` if set) so the carried ych keeps its layout."""
     rows = jnp.zeros((lanes, n), dtype)
     ych = dec.prep(rows)
     return dict(
         msgs=dec.init(ych),
+        fresh=jnp.zeros((lanes,), bool),
         ych=ych,
         d=_sign8(ych),
         done=jnp.ones((lanes,), bool),
@@ -282,7 +301,8 @@ def make_stream_call(
         rows = jnp.take(pool, local, axis=0)  # [B, N]
         ych_new = dec.prep(rows)
         st_new = dict(
-            msgs=_merge(can, dec.init(ych_new), st["msgs"]),
+            msgs=st["msgs"],  # re-initialized lazily at the next iterate
+            fresh=can,
             ych=_merge(can, ych_new, st["ych"]),
             d=_merge(can, _sign8(ych_new), st["d"]),
             done=jnp.where(can, jnp.take(pool_sat0, local), done)
@@ -297,13 +317,18 @@ def make_stream_call(
 
     def iterate(st):
         # decision-only masking, as in run_flooding_soft: msgs always
-        # advance; d/iters freeze once done (or capped).
+        # advance; d/iters freeze once done (or capped).  Freshly refilled
+        # lanes read init(ych) instead of their stale messages — selected
+        # at the step INPUT so XLA fuses it into the first read instead of
+        # materializing a full message-plane merge at the boundary.
         act = (~st["done"]) & (st["iters"] < T)
-        msgs, total = dec.step(st["msgs"], st["ych"])
+        msgs_in = _merge(st["fresh"], dec.init(st["ych"]), st["msgs"])
+        msgs, total = dec.step(msgs_in, st["ych"])
         d = _merge(act, _sign8(total), st["d"])
         return dict(
             st,
             msgs=msgs,
+            fresh=jnp.zeros_like(st["fresh"]),
             d=d,
             iters=st["iters"] + act.astype(jnp.int32),
             done=st["done"] | dec.satisfied(d),
@@ -357,6 +382,7 @@ def build_channel_pool(
     sigma: float,
     preprocess=None,
     dtype=jnp.float32,
+    pool_dtype=None,
 ):
     """[F, N] decoder-input rows for global frame ids base..base+F-1.
 
@@ -378,6 +404,12 @@ def build_channel_pool(
     # uncoded decision r = (y > 0 ? +1 : -1) vs c = +1 (montecarlo.simulate)
     unc = jnp.sum(y <= 0, axis=1, dtype=jnp.int32)
     rows = preprocess(y) if preprocess is not None else y
+    if pool_dtype is not None:
+        # reduced-precision pool (e.g. f16): the stored rows ARE the
+        # channel realization the decoder sees (exactly upcast at the
+        # step, _upcast_step) — halves pool memory, refill-gather and
+        # ych traffic; statistically invisible (f16 channel rounding)
+        rows = rows.astype(pool_dtype)
     sat0 = dec.satisfied(_sign8(dec.prep(rows)))
     return rows, unc, sat0
 
@@ -397,6 +429,7 @@ def simulate_stream(
     seed: int = 0,
     preprocess=None,
     dtype=jnp.float32,
+    pool_dtype=None,
     verbose: bool = False,
     max_calls: int = 100000,
 ) -> MCStats:
@@ -423,7 +456,7 @@ def simulate_stream(
             lanes * iters_per_call / max(avg_iters_hint, 1.0)
         )
 
-    state = stream_init(dec, lanes, code_n, dtype)
+    state = stream_init(dec, lanes, code_n, pool_dtype or dtype)
     call = make_stream_call(
         dec, code_n, num_iterations, rounds_per_call, refill_every
     )
@@ -431,7 +464,8 @@ def simulate_stream(
     def pool_fn(base_):
         # dec holds plain functions (not a pytree) — close over it
         return build_channel_pool(
-            dec, root, base_, pool_frames, code_n, sigma, preprocess, dtype
+            dec, root, base_, pool_frames, code_n, sigma, preprocess,
+            dtype, pool_dtype,
         )
 
     stats = MCStats(n=code_n)

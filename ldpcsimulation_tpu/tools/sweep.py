@@ -219,12 +219,14 @@ def main(argv: Optional[List[str]] = None) -> int:
                     file=sys.stderr,
                 )
             if qc is None and args.decoder in (
-                "minsum", "offsetminsum", "normalizedminsum"
-            ):
-                # Non-QC but stratified matrices (802.3an RS-LDPC) get the
-                # MXU one-hot interleaver instead of the gather path.  Only
-                # the min-sum route consumes the structure, so only it pays
-                # for the host-side greedy search.
+                "minsum", "offsetminsum", "normalizedminsum", "bp", "ddbmp"
+            ) and args.schedule != "layered":
+                # Non-QC matrices get the stratified MXU one-hot
+                # interleaver instead of the gather path whenever the
+                # greedy row/column coloring is cheap enough (cost-gated
+                # in detect_stratified) — the universal unstructured
+                # fallback for the message-passing decoders; only those
+                # routes pay for the host-side search.
                 from ..codes.stratified import detect_stratified
 
                 strat = detect_stratified(alist)
@@ -376,6 +378,14 @@ def main(argv: Optional[List[str]] = None) -> int:
                     qc, llr, T, early_termination=args.early_termination,
                     storage_dtype=sdt,
                 )
+            elif strat is not None:
+                from ..decoders.bp_stratified import decode_bp_stratified
+
+                dec = lambda llr, key: decode_bp_stratified(
+                    strat, llr, T,
+                    early_termination=args.early_termination,
+                    storage_dtype=sdt,
+                )
             else:
                 dec = lambda llr, key: decode_bp(
                     code, llr, T, early_termination=args.early_termination,
@@ -492,11 +502,19 @@ def main(argv: Optional[List[str]] = None) -> int:
         elif args.decoder == "ddbmp":
             ym = ymax if ymax is not None else 1.5
             nql = nq if nq is not None else 8.0
+            if qc is not None:
+                ddec = lambda yq, key: decode_ddbmp_qc(qc, yq, T)
+            elif strat is not None:
+                from ..decoders.ddbmp import decode_ddbmp_stratified
+
+                ddec = lambda yq, key: decode_ddbmp_stratified(
+                    strat, yq, T
+                )
+            else:
+                ddec = lambda yq, key: decode_ddbmp(code, yq, T)
             stats = run_point(
                 snr,
-                (lambda yq, key: decode_ddbmp_qc(qc, yq, T))
-                if qc is not None
-                else (lambda yq, key: decode_ddbmp(code, yq, T)),
+                ddec,
                 preprocess=lambda y: quantize_no_zero(y, ym, nql),
             )
             row = minsum_log_row(snr, stats, T, alist_name, ymax=ym)

@@ -33,6 +33,7 @@ p.add_argument("--refill", type=int, default=1)
 p.add_argument("--rounds", type=int, default=64)
 p.add_argument("--T", type=int, default=30)
 p.add_argument("--avg", type=float, default=10.0)
+p.add_argument("--f16pool", action="store_true")
 p.add_argument("--repeats", type=int, default=5)
 args = p.parse_args()
 
@@ -55,13 +56,15 @@ print(f"# lanes={args.lanes} K={args.refill} rounds={args.rounds} "
       f"T={args.T} pool={F} ({F*qc.n*4/1e6:.0f} MB)")
 
 root = jax.random.key(0)
-state = stream_init(dec, args.lanes, qc.n)
+pdt = jnp.float16 if args.f16pool else jnp.float32
+state = stream_init(dec, args.lanes, qc.n, pdt)
 call = make_stream_call(dec, qc.n, args.T, args.rounds, args.refill)
 
 
 @jax.jit
 def pool_fn(base):
-    return build_channel_pool(dec, root, base, F, qc.n, sigma, pre)
+    return build_channel_pool(dec, root, base, F, qc.n, sigma, pre,
+                              pool_dtype=pdt if args.f16pool else None)
 
 
 base = 0

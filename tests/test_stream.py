@@ -212,3 +212,34 @@ def test_stream_uncoded_counter():
     np.testing.assert_array_equal(
         np.asarray(unc), (y <= 0).sum(axis=1).astype(np.int32)
     )
+
+
+def test_minsum_qc_stream_f16_pool_matches_batch():
+    """f16 pool rows: the stored rows ARE the channel realization (upcast
+    exactly at the step), so the stream matches a batch decode of the
+    same rows upcast to f32."""
+    dec = minsum_qc_stream(QC, storage_dtype=jnp.float16)
+    root = jax.random.key(7)
+    F = 128
+    rows, unc, sat0 = build_channel_pool(
+        dec, root, 0, F, QC.n, SIGMA, None, pool_dtype=jnp.float16
+    )
+    assert rows.dtype == jnp.float16
+    res = decode_minsum_qc(
+        QC, rows.astype(jnp.float32), T, early_termination=True,
+        storage_dtype=jnp.float16,
+    )
+    ref = {
+        g: (int(np.asarray(res.iterations)[g]),
+            int((np.asarray(res.hard)[g] != 1).sum()))
+        for g in range(F)
+    }
+    state = stream_init(dec, 32, QC.n, jnp.float16)
+    call = make_stream_call(dec, QC.n, T, 40, 1, record=True,
+                            rec_cap=F + 32)
+    state, acc, rec = call(state, rows, unc, sat0, jnp.int32(0))
+    a, r = jax.device_get(acc), jax.device_get(rec)
+    rc = int(a["rc"])
+    assert rc >= 100
+    for g, it, er in zip(r["gid"][:rc], r["iters"][:rc], r["errs"][:rc]):
+        assert ref[int(g)] == (int(it), int(er)), int(g)

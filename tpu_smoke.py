@@ -85,6 +85,17 @@ def main() -> int:
         ("minsum_strat et f16", lambda: decode_minsum_stratified(
             sc, ys, 5, early_termination=True,
             storage_dtype=jnp.float16).hard),
+        ("bp_strat", lambda: __import__(
+            "ldpcsimulation_tpu.decoders.bp_stratified",
+            fromlist=["decode_bp_stratified"],
+        ).decode_bp_stratified(
+            sc, llr_from_channel(ys, n0), 5, early_termination=True
+        ).hard),
+        ("ddbmp_strat", lambda: __import__(
+            "ldpcsimulation_tpu.decoders.ddbmp",
+            fromlist=["decode_ddbmp_stratified"],
+        ).decode_ddbmp_stratified(sc, ys, 10).hard),
+        ("minsum stream refill", lambda: _stream_check()),
         ("minsum_qc", lambda: decode_minsum_qc(qc, yq, 5).hard),
         ("minsum_qc f16", lambda: decode_minsum_qc(
             qc, yq, 5, storage_dtype=jnp.float16).hard),
@@ -132,6 +143,27 @@ def main() -> int:
             nb, pri, 5, variant="minmax").symbols),
         ("grid step (traced op-point scalars)", lambda: _grid_check()),
     ]
+
+    def _stream_check():
+        # streaming refill harness end-to-end on the chip (f16 pool)
+        from ldpcsimulation_tpu.harness.stream import (
+            build_channel_pool,
+            make_stream_call,
+            minsum_qc_stream,
+            stream_init,
+        )
+
+        sdec = minsum_qc_stream(qc, storage_dtype=jnp.float16)
+        pool, unc, sat0 = build_channel_pool(
+            sdec, jax.random.key(1), 0, 256, qc.n, 0.7,
+            pool_dtype=jnp.float16,
+        )
+        st = stream_init(sdec, 64, qc.n, jnp.float16)
+        callf = make_stream_call(sdec, qc.n, 8, 12, 2)
+        _st, acc, _rec = callf(st, pool, unc, sat0, jnp.int32(0))
+        assert int(acc["frames"]) > 0
+        return np.asarray(acc["bit_errs"], np.float64)
+
     def _grid_check():
         # one-slot mesh on the chip: the distributed operating-point grid
         # step with TRACED per-slot sigma + decoder scalars (shard_map +
