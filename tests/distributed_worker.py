@@ -38,6 +38,7 @@ from ldpcsimulation_tpu.decoders.minsum import decode_minsum  # noqa: E402
 from ldpcsimulation_tpu.parallel.mesh import (  # noqa: E402
     init_distributed,
     make_counters_step,
+    make_grid_step,
     make_mesh,
 )
 
@@ -76,4 +77,36 @@ local = {
 if pid == 0:
     with open(out_path, "w") as f:
         json.dump(local, f)
+
+# --- operating-point grid step on a 2-slot mesh, distinct decoder scalars
+# (VERDICT r3 item 5: the multi-process surface of make_grid_step).  Each
+# process dumps the slots it can address; the parent assembles and compares
+# against the single-process run bit-for-bit.
+gmesh = make_mesh(n_snr=2)
+gstep = make_grid_step(
+    code,
+    lambda y, sigma, key, point: decode_minsum(
+        code, y, 6, variant="normalized", alpha=point["alpha"],
+        early_termination=True,
+    ),
+    gmesh, batch_per_device=8, max_iterations=6, param_names=("alpha",),
+)
+gshape = (2, gstep.batch_global, code.n)
+gsharding = NamedSharding(gmesh, P("snr", "data"))
+gbits = jax.make_array_from_callback(
+    gshape, gsharding,
+    lambda idx: np.zeros(np.empty(gshape)[idx].shape, np.uint8),
+)
+gout = gstep(
+    root_key, gbits,
+    np.asarray([0.6, 0.8], np.float32),
+    {"alpha": np.asarray([1.0, 1.25], np.float32)},
+)
+gslots = {}
+for k, v in gout.items():
+    for sh in v.addressable_shards:
+        slot = sh.index[0].start or 0
+        gslots.setdefault(str(slot), {})[k] = np.asarray(sh.data).tolist()
+with open(f"{out_path}.grid{pid}", "w") as f:
+    json.dump(gslots, f)
 print(f"worker {pid} ok", flush=True)
