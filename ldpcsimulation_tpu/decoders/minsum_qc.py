@@ -213,7 +213,8 @@ def _vn_fold(entries, accs, init=None):
     return acc
 
 
-def qc_cn_minsum_slots(qc: QCCode, v2c, variant="plain", alpha=1.0, delta=0.0):
+def qc_cn_minsum_slots(qc: QCCode, v2c, variant="plain", alpha=1.0,
+                       delta=0.0, int_scan=False):
     """CN update + variant post-op, returning c2v slot EXPRESSIONS in VN
     layout: ``slots[bj][s]`` is a ``[z, B]`` array for VN block ``bj``'s
     ``s``-th edge block.
@@ -226,12 +227,21 @@ def qc_cn_minsum_slots(qc: QCCode, v2c, variant="plain", alpha=1.0, delta=0.0):
 
     v2c: [Nb, dv_max, z, B].  Identical scan semantics to minsum_cn_update
     (<= last-min-wins).
+
+    ``int_scan``: run the scan on the sign-magnitude INTEGER view of the
+    messages (float ordering is monotone in the integer bit pattern for
+    same-sign finite values, signs combine as XOR of sign bits) — the
+    same selects/compares as the float scan bit for bit, candidate for
+    cheaper VPU issue (see :func:`_cn_scan_int`).  Plain variant only;
+    requires -0.0-free inputs (``storage_cast`` canonicalizes).
     """
     z = qc.z
     dtype = v2c.dtype
     b = v2c.shape[-1]
     cn_plan, _ = qc_slot_plan(qc)
     inf = jnp.asarray(jnp.inf, dtype)
+    if int_scan and variant != "plain":
+        raise ValueError("int_scan supports the plain variant only")
 
     c2v_slots = [
         [None] * len(qc.vn_blocks[bj]) for bj in range(qc.nb)
@@ -247,31 +257,88 @@ def qc_cn_minsum_slots(qc: QCCode, v2c, variant="plain", alpha=1.0, delta=0.0):
                 msg = jnp.where(jnp.asarray(e.cn_mask)[:, None], inf, msg)
             phys.append(msg)
         views = _swap_scan_views(entries, phys)
-        min1 = jnp.full((z, b), inf, dtype)
-        min2 = jnp.full((z, b), inf, dtype)
-        minidx = jnp.full((z, b), -1, jnp.int32)
-        sprod = jnp.ones((z, b), dtype)
-        for t, msg in enumerate(views):
-            a = jnp.abs(msg)
-            sprod = sprod * sgn_pos(msg)
-            is_min = a <= min1
-            min2 = jnp.where(is_min, min1, jnp.where(a < min2, a, min2))
-            minidx = jnp.where(is_min, t, minidx)
-            min1 = jnp.where(is_min, a, min1)
-        outs = []
-        for t, msg in enumerate(views):
-            mag = jnp.where(minidx == t, min2, min1)
-            out = sprod * mag * sgn_pos(msg)
-            if variant == "normalized":
-                out = out / alpha
-            elif variant == "offset":
-                m2 = jnp.abs(out) - delta
-                out = jnp.where(m2 > 0, sgn_pos(out) * m2, jnp.zeros_like(out))
-            outs.append(out)
+        if int_scan:
+            outs = _cn_scan_int(views)
+        else:
+            min1 = jnp.full((z, b), inf, dtype)
+            min2 = jnp.full((z, b), inf, dtype)
+            minidx = jnp.full((z, b), -1, jnp.int32)
+            sprod = jnp.ones((z, b), dtype)
+            for t, msg in enumerate(views):
+                a = jnp.abs(msg)
+                sprod = sprod * sgn_pos(msg)
+                is_min = a <= min1
+                min2 = jnp.where(is_min, min1, jnp.where(a < min2, a, min2))
+                minidx = jnp.where(is_min, t, minidx)
+                min1 = jnp.where(is_min, a, min1)
+            outs = []
+            for t, msg in enumerate(views):
+                mag = jnp.where(minidx == t, min2, min1)
+                out = sprod * mag * sgn_pos(msg)
+                if variant == "normalized":
+                    out = out / alpha
+                elif variant == "offset":
+                    m2 = jnp.abs(out) - delta
+                    out = jnp.where(
+                        m2 > 0, sgn_pos(out) * m2, jnp.zeros_like(out)
+                    )
+                outs.append(out)
         outs = _unswap_outputs(entries, outs)
         for t, e in enumerate(entries):
             c2v_slots[e.bj][e.vslot] = jnp.roll(outs[t], e.shift, axis=0)
     return c2v_slots
+
+
+def _cn_scan_int(views):
+    """Sign-magnitude integer-view min-sum CN scan (VERDICT r3 item 7).
+
+    For finite IEEE floats of one sign, value order is monotone in the
+    raw bit pattern, so with ``v = bitcast(msg)``:
+
+      * ``|msg|``           = ``v & 0x7fff…``  (clear sign bit)
+      * ``a <= min1``       = integer compare of magnitude patterns
+      * sign product        = XOR of sign bits (±1 muls become one xor)
+      * ``sprod·mag·sgn(m)``= ``mag_bits | (sxor ^ sign_bits(m))``
+
+    Bit-identical to the float scan (the scan only *selects* stored
+    values; the sign algebra is exact) provided inputs are −0.0-free:
+    ``sgn_pos(−0.0) = +1`` but the sign bit says negative, so
+    ``storage_cast`` canonicalizes −0 → +0 on the f16 store.  +inf
+    (absent-edge neutral) has magnitude pattern 0x7c00, above every
+    finite value, exactly like the float scan.
+    """
+    dtype = views[0].dtype
+    if dtype == jnp.float16:
+        idt, inf_bits = jnp.int16, 0x7C00
+    elif dtype == jnp.float32:
+        idt, inf_bits = jnp.int32, 0x7F800000
+    else:
+        raise ValueError(f"int_scan: unsupported dtype {dtype}")
+    nbits = jnp.finfo(dtype).bits
+    sign_mask = idt(-(1 << (nbits - 1)))  # 0x8000… as signed
+    mag_mask = idt((1 << (nbits - 1)) - 1)
+    vs = [jax.lax.bitcast_convert_type(m, idt) for m in views]
+    mags = [v & mag_mask for v in vs]
+    signs = [v & sign_mask for v in vs]
+
+    # +inf pattern init: matches the float scan's identity exactly
+    # (including the absent-edge +inf neutral and degenerate dc=1 rows)
+    min1 = jnp.full_like(mags[0], idt(inf_bits))
+    min2 = jnp.full_like(mags[0], idt(inf_bits))
+    minidx = jnp.full(mags[0].shape, -1, jnp.int32)
+    sxor = jnp.zeros_like(signs[0])
+    for t, a in enumerate(mags):
+        sxor = sxor ^ signs[t]
+        is_min = a <= min1
+        min2 = jnp.where(is_min, min1, jnp.where(a < min2, a, min2))
+        minidx = jnp.where(is_min, t, minidx)
+        min1 = jnp.where(is_min, a, min1)
+    outs = []
+    for t in range(len(views)):
+        mag = jnp.where(minidx == t, min2, min1)
+        out_bits = mag | (sxor ^ signs[t])
+        outs.append(jax.lax.bitcast_convert_type(out_bits, dtype))
+    return outs
 
 
 def qc_cn_minsum(qc: QCCode, v2c, variant="plain", alpha=1.0, delta=0.0):
@@ -314,6 +381,7 @@ def qc_minsum_step(
     alpha: float = 1.0,
     delta: float = 0.0,
     storage_dtype=None,
+    int_scan: bool = False,
 ):
     """The :func:`decode_minsum_qc` iteration as a pure function of
     (messages, channel term): ``step(v2c, yb) -> (v2c', totals)`` with
@@ -338,14 +406,23 @@ def qc_minsum_step(
         """
         sdt = storage_dtype if storage_dtype is not None else yb.dtype
         zero = jnp.zeros(yb.shape[1:], sdt)
-        slots = qc_cn_minsum_slots(qc, v2c, variant, alpha, delta)
+        slots = qc_cn_minsum_slots(
+            qc, v2c, variant, alpha, delta, int_scan=int_scan
+        )
         totals = []
         planes = []
         for bj in range(qc.nb):
             accs = [s.astype(yb.dtype) for s in slots[bj]]
             total = yb[bj] + _vn_fold(vn_plan[bj], accs)  # [z, B]
             totals.append(total)
-            pl = [storage_cast(total - sa, sdt) for sa in accs]
+            # int_scan reads raw sign bits, so −0.0 stores are
+            # canonicalized to +0.0 (adding +0.0 is exact elsewhere)
+            pl = [
+                storage_cast(total - sa, sdt) + jnp.zeros((), sdt)
+                if int_scan
+                else storage_cast(total - sa, sdt)
+                for sa in accs
+            ]
             pl += [zero] * (dv_max - len(pl))
             planes.append(jnp.stack(pl))
         return jnp.stack(planes), jnp.stack(totals)
@@ -361,6 +438,7 @@ def qc_minsum_step(
         "variant",
         "early_termination",
         "storage_dtype",
+        "int_scan",
     ),
 )
 def decode_minsum_qc(
@@ -372,6 +450,7 @@ def decode_minsum_qc(
     delta: float = 0.0,
     early_termination: bool = False,
     storage_dtype=None,
+    int_scan: bool = False,
 ) -> DecodeResult:
     """Batched flooding min-sum on a QC code.  y: [B, N].
 
@@ -391,7 +470,10 @@ def decode_minsum_qc(
 
     # initializeSymMessages: all slots start at the channel sample
     v2c0 = jnp.broadcast_to(yb[:, None], (qc.nb, dv_max, qc.z, b)).astype(sdt)
-    step_y = qc_minsum_step(qc, variant, alpha, delta, storage_dtype)
+    if int_scan:
+        v2c0 = v2c0 + jnp.zeros((), sdt)  # canonicalize −0.0 (see step)
+    step_y = qc_minsum_step(qc, variant, alpha, delta, storage_dtype,
+                            int_scan=int_scan)
 
     d, iters, done = run_flooding_soft(
         yb, v2c0, lambda v2c: step_y(v2c, yb),

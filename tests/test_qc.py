@@ -214,3 +214,31 @@ def test_bp_generic_f16_bitexact_vs_qc_f16(small_qc, rng):
         np.testing.assert_array_equal(
             np.asarray(r1.iterations), np.asarray(r2.iterations)
         )
+
+
+def test_int_scan_bitexact(small_qc, rng):
+    """Sign-magnitude integer-view CN scan (minsum_qc._cn_scan_int) is
+    bit-identical to the float scan for f16 AND f32 storage, including
+    early termination (VERDICT r3 item 7 probe)."""
+    import jax.numpy as jnp
+
+    from ldpcsimulation_tpu.channel import awgn, snr_to_sigma
+    from ldpcsimulation_tpu.decoders.minsum_qc import decode_minsum_qc
+
+    qc = small_qc
+    sigma = float(snr_to_sigma(2.0, 0.5))
+    y = awgn(jax.random.key(3), jnp.ones((32, qc.n)), sigma)
+    for sdt in (jnp.float16, None):
+        a = decode_minsum_qc(
+            qc, y, 12, early_termination=True, storage_dtype=sdt,
+            int_scan=True,
+        )
+        b = decode_minsum_qc(
+            qc, y, 12, early_termination=True, storage_dtype=sdt,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(a.hard), np.asarray(b.hard), err_msg=str(sdt)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(a.iterations), np.asarray(b.iterations)
+        )
