@@ -44,7 +44,7 @@ from ..codes.code import Code
 from ..codes.gf import gf_tables
 from .base import _mask_last
 
-__all__ = ["NBDecodeResult", "decode_nb_qspa", "wht"]
+__all__ = ["NBDecodeResult", "decode_nb_qspa", "nb_qspa_machine", "wht"]
 
 
 @dataclasses.dataclass
@@ -168,47 +168,28 @@ def _class_combine(h_cn, x, tbl):
     return out
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "num_iterations", "early_termination", "q", "storage_dtype"
-    ),
-)
-def decode_nb_qspa(
-    code: Code,
-    priors: jax.Array,
-    num_iterations: int,
-    q: int = 0,
-    early_termination: bool = True,
-    storage_dtype=None,
-) -> NBDecodeResult:
-    """Batched FFT-QSPA decode.
+def nb_qspa_machine(code: Code, q: int, dtype=jnp.float32,
+                    storage_dtype=None):
+    """The FFT-QSPA kernels as pure functions of their inputs.
 
-    priors: [B, N, q] channel symbol probabilities (see channel.nb).
-    q: field order (defaults to code.q).
-    storage_dtype: optional narrower dtype (e.g. float16) for the message
-    planes between updates; arithmetic stays in the prior dtype.  Messages
-    live in the LOG domain between updates (round 3): the CN's max-
-    normalized log output is exactly what the VN sums, and both per-
-    (slot, frame) normalizations (the CN sum+divide and the softmax's
-    divide) drop out by scale invariance — every remaining normalization
-    is a max-subtraction, and each side performs exactly one exp and one
-    log per edge.  Log-domain values sit in [log eps, ~q·dc], where the
-    f16 ulp (≤0.03) is the same regime as binary BP's clamped-LLR f16
-    storage (decoders/bp.py).
+    Returns a dict of:
+      * ``cn_update(v2c)``            — [slots_v, q, B] log → [slots_c, q, B]
+      * ``vn_update(c2v, log_pri)``   — → (v2c log, log_post)
+      * ``decide(log_post)``          — → [N, B] int32 symbols
+      * ``syndrome_ok(symbols)``      — H·z == 0 over GF(q), [B] bool
+      * ``init(log_pri)``             — initial v2c message planes
+
+    Factored out of :func:`decode_nb_qspa` (identical operations — the
+    batch decoder builds its loop from these) so drivers that replace the
+    channel term mid-decode (the streaming refill harness) share one
+    definition.  See the module docstring for the algorithm and the
+    fused-combine gating.
     """
-    q = q or code.q
     mul_np, inv_np = gf_tables(q)
     mul = jnp.asarray(mul_np)
     inv = jnp.asarray(inv_np)
-
-    pri = jnp.moveaxis(jnp.asarray(priors), 0, -1)  # [N, q, B]
-    n, qq, b = pri.shape
-    assert qq == q and n == code.n
-    dtype = pri.dtype
     sdtype = storage_dtype or dtype
     eps = jnp.asarray(1e-30, dtype)
-    log_pri = jnp.log(pri + eps)
 
     # static-shaped coefficient permutation tables (built from traced
     # coefficients via the constant multiplication table)
@@ -234,6 +215,7 @@ def decode_nb_qspa(
 
     def cn_update(v2c):
         """v2c [N*dv_max, q, B] log-domain -> c2v [M*dc_max, q, B] log."""
+        b = v2c.shape[-1]
         g = jnp.take(v2c, cn_gather, axis=0)  # [M*dc_max, q, B]
         g = jnp.exp(g.astype(dtype))  # x-domain, ≤ 1 (max-normalized logs)
         if q <= _FUSED_QMAX:
@@ -285,8 +267,9 @@ def decode_nb_qspa(
         # the softmax divide in vn_update were pure overhead.
         return jnp.log(out + eps).astype(sdtype)
 
-    def vn_update(c2v):
+    def vn_update(c2v, log_pri):
         """c2v [M*dc_max, q, B] log-domain -> (v2c log, log_post)."""
+        b = c2v.shape[-1]
         g = jnp.take(c2v, vn_gather, axis=0)  # [N*dv_max, q, B]
         logg = jnp.where(vn_mask, g.astype(dtype), jnp.zeros((), dtype))
         logg = logg.reshape(code.n, code.dv_max, q, b)
@@ -332,6 +315,7 @@ def decode_nb_qspa(
 
     def syndrome_ok(symbols):
         """H·z == 0 over GF(q) for each frame (bit-plane linear form)."""
+        b = symbols.shape[-1]
         s = jnp.take(symbols, code.cn_vn.reshape(-1), axis=0)  # [slots, B]
         sbits = [(s >> i) & 1 for i in range(m_bits)]
         hs = jnp.zeros_like(s)
@@ -347,14 +331,66 @@ def decode_nb_qspa(
             acc = jnp.bitwise_xor(acc, hs[:, t])
         return jnp.all(acc == 0, axis=0)
 
-    lp0 = log_pri - jnp.max(log_pri, axis=1, keepdims=True)
-    v2c0 = jnp.broadcast_to(
-        lp0.astype(sdtype)[:, None], (code.n, code.dv_max, q, b)
-    ).reshape(code.n * code.dv_max, q, b)
+    def init(log_pri):
+        b = log_pri.shape[-1]
+        lp0 = log_pri - jnp.max(log_pri, axis=1, keepdims=True)
+        return jnp.broadcast_to(
+            lp0.astype(sdtype)[:, None], (code.n, code.dv_max, q, b)
+        ).reshape(code.n * code.dv_max, q, b)
+
+    return dict(
+        cn_update=cn_update,
+        vn_update=vn_update,
+        decide=decide,
+        syndrome_ok=syndrome_ok,
+        init=init,
+        log_of=lambda pri: jnp.log(pri + eps),
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "num_iterations", "early_termination", "q", "storage_dtype"
+    ),
+)
+def decode_nb_qspa(
+    code: Code,
+    priors: jax.Array,
+    num_iterations: int,
+    q: int = 0,
+    early_termination: bool = True,
+    storage_dtype=None,
+) -> NBDecodeResult:
+    """Batched FFT-QSPA decode.
+
+    priors: [B, N, q] channel symbol probabilities (see channel.nb).
+    q: field order (defaults to code.q).
+    storage_dtype: optional narrower dtype (e.g. float16) for the message
+    planes between updates; arithmetic stays in the prior dtype.  Messages
+    live in the LOG domain between updates (round 3): the CN's max-
+    normalized log output is exactly what the VN sums, and both per-
+    (slot, frame) normalizations (the CN sum+divide and the softmax's
+    divide) drop out by scale invariance — every remaining normalization
+    is a max-subtraction, and each side performs exactly one exp and one
+    log per edge.  Log-domain values sit in [log eps, ~q·dc], where the
+    f16 ulp (≤0.03) is the same regime as binary BP's clamped-LLR f16
+    storage (decoders/bp.py).
+    """
+    q = q or code.q
+    pri = jnp.moveaxis(jnp.asarray(priors), 0, -1)  # [N, q, B]
+    n, qq, b = pri.shape
+    assert qq == q and n == code.n
+    dtype = pri.dtype
+    M = nb_qspa_machine(code, q, dtype, storage_dtype)
+    log_pri = M["log_of"](pri)
+    decide = M["decide"]
+    syndrome_ok = M["syndrome_ok"]
+    v2c0 = M["init"](log_pri)
 
     def step(v2c):
-        c2v = cn_update(v2c)
-        v2c, log_post = vn_update(c2v)
+        c2v = M["cn_update"](v2c)
+        v2c, log_post = M["vn_update"](c2v, log_pri)
         return v2c, decide(log_post)
 
     sym0 = decide(log_pri)

@@ -70,13 +70,23 @@ class StreamDecoder:
     All callables operate in the decoder's internal layout with the batch
     on the LAST axis (see decoders/base.py).
 
-    prep(rows [B, N]) -> ych        — channel term in decoder layout; for
+    prep(rows [B, R]) -> ych        — channel term in decoder layout; for
                                       soft decoders ych IS the iteration-0
-                                      posterior (decisions = its sign).
+                                      posterior.  R = per-frame pool row
+                                      width (N for binary decoders).
     init(ych) -> msgs               — initial message pytree.
     step(msgs, ych) -> (msgs, total)
-    satisfied(d) -> [B] bool        — all parity checks pass (d any int ±1).
-    hard(d) -> [N, B]               — decisions in bit order.
+    satisfied(d) -> [B] bool        — all parity checks pass.
+    hard(d) -> [N, B]               — decisions in bit order (binary).
+
+    Optional hooks (non-binary decoders):
+    d_of(total) -> d                — decisions from the step total
+                                      (default: int8 sign, binary ±1).
+    errs_of(d) -> [B] int32         — primary error metric per frame
+                                      (default: ``hard(d) != +1`` count;
+                                      NB: bit errors of the symbols).
+    errs2_of(d) -> [B] int32        — optional secondary counter
+                                      (NB: symbol errors).
     """
 
     prep: Callable
@@ -84,6 +94,9 @@ class StreamDecoder:
     step: Callable
     satisfied: Callable
     hard: Callable
+    d_of: Optional[Callable] = None
+    errs_of: Optional[Callable] = None
+    errs2_of: Optional[Callable] = None
 
 
 def minsum_qc_stream(
@@ -212,15 +225,17 @@ def _merge(mask_b, new, old):
 
 def stream_init(dec: StreamDecoder, lanes: int, n: int, dtype=jnp.float32):
     """All-idle initial lane state: the first boundary of the first call
-    fills every lane from the pool.  ``dtype`` must match the pool row
-    dtype (``pool_dtype`` if set) so the carried ych keeps its layout."""
+    fills every lane from the pool.  ``n`` is the pool row width (N for
+    binary decoders); ``dtype`` must match the pool row dtype
+    (``pool_dtype`` if set) so the carried ych keeps its layout."""
     rows = jnp.zeros((lanes, n), dtype)
     ych = dec.prep(rows)
+    d_of = dec.d_of or _sign8
     return dict(
         msgs=dec.init(ych),
         fresh=jnp.zeros((lanes,), bool),
         ych=ych,
-        d=_sign8(ych),
+        d=d_of(ych),
         done=jnp.ones((lanes,), bool),
         idle=jnp.ones((lanes,), bool),
         iters=jnp.zeros((lanes,), jnp.int32),
@@ -237,6 +252,7 @@ def make_stream_call(
     refill_every: int = 1,
     record: bool = False,
     rec_cap: int = 0,
+    max_weight: Optional[int] = None,
 ):
     """Build the jitted persistent-state call.
 
@@ -260,11 +276,16 @@ def make_stream_call(
     """
     T = num_iterations
     K = refill_every
+    mw = n if max_weight is None else max_weight
+    d_of = dec.d_of or _sign8
 
     def boundary(st, ptr, acc, rec, rc, pool, pool_unc, pool_sat0, base):
         d, done, idle, iters = st["d"], st["done"], st["idle"], st["iters"]
-        hard = dec.hard(d)  # [N, B]
-        errs = jnp.sum(hard != 1, axis=0, dtype=jnp.int32)  # [B]
+        if dec.errs_of is not None:
+            errs = dec.errs_of(d)  # [B]
+        else:
+            hard = dec.hard(d)  # [N, B]
+            errs = jnp.sum(hard != 1, axis=0, dtype=jnp.int32)  # [B]
         retire = (done | (iters >= T)) & ~idle
         ri = retire.astype(jnp.int32)
         word = (errs > 0).astype(jnp.int32)
@@ -278,9 +299,13 @@ def make_stream_call(
             unc_sum=acc["unc_sum"] + jnp.sum(st["unc"] * ri, dtype=jnp.int32),
             iter_hist=acc["iter_hist"].at[jnp.clip(iters, 0, T)].add(ri),
             weight_hist=acc["weight_hist"]
-            .at[jnp.clip(errs, 0, n)]
+            .at[jnp.clip(errs, 0, mw)]
             .add(ri * word),
         )
+        if dec.errs2_of is not None:
+            acc["errs2"] = acc["errs2"] + jnp.sum(
+                dec.errs2_of(d) * ri, dtype=jnp.int32
+            )
         if record:
             rrank = jnp.cumsum(ri, dtype=jnp.int32) - 1
             pos = rc + rrank
@@ -298,13 +323,13 @@ def make_stream_call(
         ranks = jnp.cumsum(want, dtype=jnp.int32) - 1
         can = want & (ranks < pool.shape[0] - ptr)
         local = jnp.where(can, ptr + ranks, 0)
-        rows = jnp.take(pool, local, axis=0)  # [B, N]
+        rows = jnp.take(pool, local, axis=0)  # [B, R]
         ych_new = dec.prep(rows)
         st_new = dict(
             msgs=st["msgs"],  # re-initialized lazily at the next iterate
             fresh=can,
             ych=_merge(can, ych_new, st["ych"]),
-            d=_merge(can, _sign8(ych_new), st["d"]),
+            d=_merge(can, d_of(ych_new), st["d"]),
             done=jnp.where(can, jnp.take(pool_sat0, local), done)
             | (want & ~can),
             idle=want & ~can,
@@ -324,7 +349,7 @@ def make_stream_call(
         act = (~st["done"]) & (st["iters"] < T)
         msgs_in = _merge(st["fresh"], dec.init(st["ych"]), st["msgs"])
         msgs, total = dec.step(msgs_in, st["ych"])
-        d = _merge(act, _sign8(total), st["d"])
+        d = _merge(act, d_of(total), st["d"])
         return dict(
             st,
             msgs=msgs,
@@ -344,8 +369,10 @@ def make_stream_call(
             sat=jnp.int32(0),
             unc_sum=jnp.int32(0),
             iter_hist=jnp.zeros((T + 1,), jnp.int32),
-            weight_hist=jnp.zeros((n + 1,), jnp.int32),
+            weight_hist=jnp.zeros((mw + 1,), jnp.int32),
         )
+        if dec.errs2_of is not None:
+            acc["errs2"] = jnp.int32(0)
         rec = (
             dict(
                 gid=jnp.full((rec_cap + 1,), -1, jnp.int32),
@@ -492,5 +519,168 @@ def simulate_stream(
         base += int(a["consumed"])
         if verbose:
             print(stats.incremental_report())
+    stats.wall_seconds = time.perf_counter() - t0
+    return stats
+
+
+# --------------------------------------------------------------- non-binary
+
+
+def nb_qspa_stream(code, n0: float, q: int = 0,
+                   storage_dtype=None) -> StreamDecoder:
+    """Stream adapter for :func:`..decoders.nb_qspa.decode_nb_qspa`.
+
+    Pool rows are the per-frame BIT-level channel samples flattened to
+    ``[B, N*m_bits]`` (2–3x smaller than storing the q-vector priors);
+    ``prep`` recomputes symbol priors + log exactly as the batch decoder's
+    front-end does (``channel.nb.symbol_priors``), so per-frame results
+    equal a batch decode of the same rows.  Decisions are int32 symbols;
+    the primary error metric is BIT errors (popcount of the symbol value
+    for the all-zero codeword), the secondary (``errs2``) symbol errors.
+    """
+    from ..channel.nb import symbol_priors
+    from ..decoders.nb_qspa import nb_qspa_machine
+
+    q = q or code.q
+    m_bits = q.bit_length() - 1
+    M = nb_qspa_machine(code, q, jnp.float32, storage_dtype)
+
+    def prep(rows):
+        # rows [B, N*m] (possibly f16; upcast exact) -> log_pri [N, q, B]
+        y = rows.astype(jnp.float32).reshape(-1, code.n, m_bits)
+        pri = symbol_priors(y, n0, q)  # [B, N, q]
+        return M["log_of"](jnp.moveaxis(pri, 0, -1))
+
+    def step(v2c, ych):
+        c2v = M["cn_update"](v2c)
+        return M["vn_update"](c2v, ych)
+
+    def errs_of(d):  # bit errors vs the all-zero codeword
+        acc = jnp.zeros(d.shape[-1], jnp.int32)
+        for i in range(m_bits):
+            acc = acc + jnp.sum((d >> i) & 1, axis=0, dtype=jnp.int32)
+        return acc
+
+    return StreamDecoder(
+        prep=prep,
+        init=M["init"],
+        step=step,
+        satisfied=M["syndrome_ok"],
+        hard=lambda d: d,
+        d_of=lambda total: M["decide"](total),
+        errs_of=errs_of,
+        errs2_of=lambda d: jnp.sum(d != 0, axis=0, dtype=jnp.int32),
+    )
+
+
+def build_channel_pool_nb(
+    dec: StreamDecoder,
+    root,
+    base: int,
+    pool_frames: int,
+    n: int,
+    q: int,
+    sigma: float,
+    pool_dtype=None,
+):
+    """NB pool: per-frame bit-level AWGN rows ``[F, N*m_bits]`` for the
+    all-zero codeword (all-+1 BPSK bits), plus per-frame uncoded symbol
+    errors and the iteration-0 syndrome."""
+    m_bits = q.bit_length() - 1
+    width = n * m_bits
+    gids = base + jnp.arange(pool_frames)
+    keys = jax.vmap(jax.random.fold_in, in_axes=(None, 0))(root, gids)
+    noise = jax.vmap(
+        lambda kk: jax.random.normal(kk, (width,), jnp.float32)
+    )(keys)
+    rows = 1.0 + sigma * noise
+    if pool_dtype is not None:
+        rows = rows.astype(pool_dtype)
+    ych = dec.prep(rows)
+    d0 = dec.d_of(ych)  # [N, F] symbols
+    unc = jnp.sum(d0 != 0, axis=0, dtype=jnp.int32)
+    sat0 = dec.satisfied(d0)
+    return rows, unc, sat0
+
+
+def simulate_stream_nb(
+    code,
+    snr_db: float,
+    num_iterations: int,
+    rate: Optional[float] = None,
+    stop: Optional[StopRule] = None,
+    lanes: int = 512,
+    refill_every: int = 1,
+    rounds_per_call: int = 32,
+    pool_frames: Optional[int] = None,
+    avg_iters_hint: float = 6.0,
+    seed: int = 0,
+    storage_dtype=None,
+    pool_dtype=None,
+    verbose: bool = False,
+    max_calls: int = 100000,
+):
+    """NB Monte-Carlo over the streaming driver -> :class:`NBMCStats`.
+
+    Same statistics semantics as :func:`.montecarlo_nb.simulate_nb` (bit
+    errors drive the stop rule; word errors count frames with any symbol
+    error) without the early-termination straggler tax.
+    """
+    from ..channel.awgn import snr_to_n0
+    from .montecarlo_nb import NBMCStats
+
+    q = code.q
+    m_bits = q.bit_length() - 1
+    rate = rate if rate is not None else code.rate
+    stop = stop or StopRule(min_word_errors=default_min_word_errors(code.n))
+    n0 = float(snr_to_n0(snr_db, rate))
+    sigma = float(np.sqrt(n0 / 2.0))
+    root = jax.random.key(seed)
+    if pool_frames is None:
+        pool_frames = lanes + int(
+            lanes * rounds_per_call * refill_every
+            / max(avg_iters_hint, 1.0)
+        )
+
+    dec = nb_qspa_stream(code, n0, q, storage_dtype)
+    width = code.n * m_bits
+    state = stream_init(
+        dec, lanes, width, pool_dtype or jnp.float32
+    )
+    call = make_stream_call(
+        dec, code.n, num_iterations, rounds_per_call, refill_every,
+        max_weight=width,
+    )
+
+    @jax.jit
+    def pool_fn(base_):
+        return build_channel_pool_nb(
+            dec, root, base_, pool_frames, code.n, q, sigma, pool_dtype
+        )
+
+    stats = NBMCStats(n=code.n, q=q)
+    t0 = time.perf_counter()
+    base = 0
+    for _ci in range(max_calls):
+        if stop.done(stats.bit_errors, stats.word_errors,
+                     stats.total_words):
+            break
+        pool, unc, sat0 = pool_fn(jnp.int32(base))
+        state, acc, _rec = call(state, pool, unc, sat0, jnp.int32(base))
+        a = jax.device_get(acc)
+        stats.total_words += int(a["frames"])
+        stats.total_symbols += int(a["frames"]) * code.n
+        stats.total_bits += int(a["frames"]) * code.n * m_bits
+        stats.bit_errors += int(a["bit_errs"])
+        stats.symbol_errors += int(a["errs2"])
+        stats.word_errors += int(a["word_errs"])
+        stats.total_iterations += int(a["iter_sum"])
+        stats.uncoded_symbol_errors += int(a["unc_sum"])
+        base += int(a["consumed"])
+        if verbose:
+            print(
+                f"stream_nb: {stats.total_words} frames, "
+                f"SER={stats.ser:.4g} BER={stats.ber:.4g}"
+            )
     stats.wall_seconds = time.perf_counter() - t0
     return stats

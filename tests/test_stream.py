@@ -243,3 +243,79 @@ def test_minsum_qc_stream_f16_pool_matches_batch():
     assert rc >= 100
     for g, it, er in zip(r["gid"][:rc], r["iters"][:rc], r["errs"][:rc]):
         assert ref[int(g)] == (int(it), int(er)), int(g)
+
+
+def test_nb_stream_matches_batch():
+    """NB-QSPA through the stream driver: per-frame symbol decisions,
+    iteration counts, and bit/symbol error counters equal a batch decode
+    of the same channel rows (the NB ET row's straggler-tax fix)."""
+    from ldpcsimulation_tpu.channel.nb import symbol_priors
+    from ldpcsimulation_tpu.codes import build_code
+    from ldpcsimulation_tpu.codes.construct import nb_regular
+    from ldpcsimulation_tpu.decoders.nb_qspa import decode_nb_qspa
+    from ldpcsimulation_tpu.harness.stream import (
+        build_channel_pool_nb,
+        nb_qspa_stream,
+    )
+
+    q = 4
+    code = build_code(nb_regular(48, 24, 3, q=q, seed=2))
+    m_bits = 2
+    n0 = float(snr_to_n0(3.0, 0.5))
+    sigma = float(np.sqrt(n0 / 2.0))
+    T_nb = 15
+    dec = nb_qspa_stream(code, n0, q, storage_dtype=jnp.float16)
+    root = jax.random.key(7)
+    F = 96
+    rows, unc, sat0 = build_channel_pool_nb(
+        dec, root, 0, F, code.n, q, sigma
+    )
+    # batch truth on the identical rows
+    y = np.asarray(rows, np.float32).reshape(F, code.n, m_bits)
+    pri = symbol_priors(jnp.asarray(y), n0, q)
+    res = decode_nb_qspa(
+        code, pri, T_nb, early_termination=True,
+        storage_dtype=jnp.float16,
+    )
+    syms = np.asarray(res.symbols)
+    iters = np.asarray(res.iterations)
+    bit_errs = sum(((syms >> i) & 1).sum(axis=1) for i in range(m_bits))
+
+    from ldpcsimulation_tpu.harness.stream import (
+        make_stream_call,
+        stream_init,
+    )
+
+    state = stream_init(dec, 24, code.n * m_bits)
+    call = make_stream_call(
+        dec, code.n, T_nb, 50, 1, record=True, rec_cap=F + 24,
+        max_weight=code.n * m_bits,
+    )
+    state, acc, rec = call(state, rows, unc, sat0, jnp.int32(0))
+    a, r = jax.device_get(acc), jax.device_get(rec)
+    rc = int(a["rc"])
+    assert rc >= 70
+    sym_err_total = 0
+    for g, it, er in zip(r["gid"][:rc], r["iters"][:rc], r["errs"][:rc]):
+        g = int(g)
+        assert (int(it), int(er)) == (int(iters[g]), int(bit_errs[g])), g
+        sym_err_total += int((syms[g] != 0).sum())
+    assert int(a["errs2"]) == sym_err_total
+
+
+def test_simulate_stream_nb_end_to_end():
+    from ldpcsimulation_tpu.codes import build_code
+    from ldpcsimulation_tpu.codes.construct import nb_regular
+    from ldpcsimulation_tpu.harness.stream import simulate_stream_nb
+
+    code = build_code(nb_regular(48, 24, 3, q=4, seed=6))
+    stats = simulate_stream_nb(
+        code, snr_db=3.5, num_iterations=15,
+        stop=StopRule(min_bit_errors=40, min_word_errors=4),
+        lanes=24, rounds_per_call=20, pool_frames=64, seed=1,
+    )
+    assert stats.total_words > 0
+    assert stats.bit_errors >= 40 and stats.word_errors >= 4
+    assert stats.symbol_errors <= stats.bit_errors <= 2 * stats.symbol_errors
+    assert stats.total_bits == 2 * stats.total_symbols
+    assert 0 < stats.avg_iterations <= 15
