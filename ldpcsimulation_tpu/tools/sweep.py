@@ -124,6 +124,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--min-word-errors", type=int, default=None)
     p.add_argument("--early-termination", action="store_true")
     p.add_argument(
+        "--stream", action="store_true",
+        help="early-terminating min-sum/BP only: run the streaming refill "
+             "harness (persistent lanes + per-frame-keyed channel pool) "
+             "instead of the batched masked loop — same per-frame "
+             "statistics (bit-exact, tests/test_stream.py), no straggler "
+             "tax (~1.5-1.8x on the flagship QC rows, docs/PERF.md).  "
+             "All-zero codewords; lanes = --batch.",
+    )
+    p.add_argument(
         "--msg-dtype", choices=["f32", "f16"], default="f32",
         help="message STORAGE dtype (arithmetic stays f32); f16 is the "
              "benchmark precision mode, BER-identical to f32.  Applied "
@@ -303,6 +312,37 @@ def main(argv: Optional[List[str]] = None) -> int:
             decode_carry0=carry0,
         )
 
+    if args.stream:
+        if args.decoder not in (
+            "minsum", "offsetminsum", "normalizedminsum", "bp"
+        ):
+            raise SystemExit(
+                "sweep: error: --stream supports min-sum and BP only"
+            )
+        if not args.early_termination:
+            raise SystemExit(
+                "sweep: error: --stream requires --early-termination "
+                "(fixed-trip decodes have no straggler tax to remove)"
+            )
+        if codewords is not None:
+            raise SystemExit(
+                "sweep: error: --stream simulates all-zero codewords"
+            )
+        if args.distributed or args.schedule == "layered":
+            raise SystemExit(
+                "sweep: error: --stream is a single-device flooding mode"
+            )
+
+    def run_stream_point(snr, sdec, preprocess=None):
+        from ..harness.stream import simulate_stream
+
+        return simulate_stream(
+            code.n, sdec, snr, rate, T,
+            stop=stop, lanes=args.batch, refill_every=2,
+            rounds_per_call=32, seed=args.seed, preprocess=preprocess,
+            verbose=args.verbose,
+        )
+
     if args.distributed:
         return _run_distributed(
             args, code, qc, alist_name, snrs, rate, stop, T, codewords
@@ -391,9 +431,24 @@ def main(argv: Optional[List[str]] = None) -> int:
                     code, llr, T, early_termination=args.early_termination,
                     storage_dtype=sdt,
                 )
-            stats = run_point(
-                snr, dec, preprocess=lambda y: llr_from_channel(y, n0),
-            )
+            if args.stream:
+                from ..harness.stream import bp_qc_stream
+
+                if qc is None:
+                    raise SystemExit(
+                        "sweep: error: --stream bp requires a QC code "
+                        "(generic/stratified BP stream adapters: use the "
+                        "batched path)"
+                    )
+                stats = run_stream_point(
+                    snr, bp_qc_stream(qc, storage_dtype=sdt),
+                    preprocess=lambda y: llr_from_channel(y, n0),
+                )
+            else:
+                stats = run_point(
+                    snr, dec,
+                    preprocess=lambda y: llr_from_channel(y, n0),
+                )
             row = bp_log_row(snr, stats, T, alist_name)
         elif args.decoder in ("minsum", "offsetminsum", "normalizedminsum"):
             variant = {"minsum": "plain", "offsetminsum": "offset",
@@ -449,7 +504,29 @@ def main(argv: Optional[List[str]] = None) -> int:
                     early_termination=args.early_termination,
                     storage_dtype=sdt,
                 )
-            stats = run_point(snr, dec, preprocess=pre)
+            if args.stream:
+                from ..harness.stream import (
+                    minsum_qc_stream,
+                    minsum_stream,
+                )
+
+                if qc is not None:
+                    sdec = minsum_qc_stream(
+                        qc, variant=variant,
+                        alpha=alpha if alpha is not None else 1.0,
+                        delta=delta if delta is not None else 0.0,
+                        storage_dtype=sdt,
+                    )
+                else:
+                    sdec = minsum_stream(
+                        code, variant=variant,
+                        alpha=alpha if alpha is not None else 1.0,
+                        delta=delta if delta is not None else 0.0,
+                        storage_dtype=sdt,
+                    )
+                stats = run_stream_point(snr, sdec, preprocess=pre)
+            else:
+                stats = run_point(snr, dec, preprocess=pre)
             row = minsum_log_row(
                 snr, stats, T, alist_name,
                 ymax=ymax if variant != "plain" else None,

@@ -319,3 +319,40 @@ def test_simulate_stream_nb_end_to_end():
     assert stats.symbol_errors <= stats.bit_errors <= 2 * stats.symbol_errors
     assert stats.total_bits == 2 * stats.total_symbols
     assert 0 < stats.avg_iterations <= 15
+
+
+def test_sweep_stream_cli(tmp_path):
+    """--stream CLI route: min-sum QC and BP QC rows through the
+    streaming harness, reference log-row format intact."""
+    from ldpcsimulation_tpu.tools import sweep as sweep_mod
+
+    for dec, extra in (
+        ("minsum", []),
+        ("bp", []),
+    ):
+        log = str(tmp_path / f"{dec}_stream.log")
+        sweep_mod.main([
+            dec, "--code", "qc_1008_504", "--snr", "2.0", "-T", "8",
+            "--log", log, "--batch", "64", "--early-termination",
+            "--stream", "--min-errors", "50", "--min-word-errors", "2",
+            *extra,
+        ])
+        row = open(log).read().strip()
+        assert row, dec
+        assert len(row.split("\n")) == 1
+
+
+def test_sweep_stream_rejects_bad_combos(tmp_path):
+    from ldpcsimulation_tpu.tools import sweep as sweep_mod
+
+    with pytest.raises(SystemExit):
+        sweep_mod.main([
+            "minsum", "--code", "qc_1008_504", "--snr", "2.0", "-T", "5",
+            "--log", str(tmp_path / "x.log"), "--stream",
+        ])  # no --early-termination
+    with pytest.raises(SystemExit):
+        sweep_mod.main([
+            "gdbf", "--code", "qc_1008_504", "--snr", "2.0", "-T", "5",
+            "--log", str(tmp_path / "y.log"), "--stream",
+            "--early-termination",
+        ])  # unsupported decoder
