@@ -332,11 +332,21 @@ def nb_qspa_machine(code: Code, q: int, dtype=jnp.float32,
         return jnp.all(acc == 0, axis=0)
 
     def init(log_pri):
+        # log_of pre-normalizes, so init is a PLAIN broadcast — the
+        # streaming driver's lazy init-select then fuses into the step's
+        # first read instead of materializing the full message plane
         b = log_pri.shape[-1]
-        lp0 = log_pri - jnp.max(log_pri, axis=1, keepdims=True)
         return jnp.broadcast_to(
-            lp0.astype(sdtype)[:, None], (code.n, code.dv_max, q, b)
+            log_pri.astype(sdtype)[:, None], (code.n, code.dv_max, q, b)
         ).reshape(code.n * code.dv_max, q, b)
+
+    def log_of(pri):
+        # max-normalized log priors: every consumer (VN extrinsics,
+        # posterior argmax) is invariant to the per-(symbol, frame)
+        # constant up to float rounding on near-ties, and the v2c init
+        # needs exactly this normalization
+        lp = jnp.log(pri + eps)
+        return lp - jnp.max(lp, axis=1, keepdims=True)
 
     return dict(
         cn_update=cn_update,
@@ -344,7 +354,7 @@ def nb_qspa_machine(code: Code, q: int, dtype=jnp.float32,
         decide=decide,
         syndrome_ok=syndrome_ok,
         init=init,
-        log_of=lambda pri: jnp.log(pri + eps),
+        log_of=log_of,
     )
 
 
