@@ -405,6 +405,28 @@ def main(argv: Optional[List[str]] = None) -> int:
     record("layered min-sum T=10, QC", qc.n, 504, step, frames, 10,
            bytes_per_frame_iter=msg_bytes(3024, qc.n, ndirs=2))
 
+    # Real IEEE 802.11n (1944,972) z=81 (round 4, BASELINE configs[3]):
+    # flooding vs layered schedule on the true standard matrix
+    # (codes/standards.py WIFI_1944_RATE12_Z81; 87 base edges x z=81).
+    wifi = load_named_qc("wifi_1944_972")
+    sig_w = float(snr_to_sigma(2.0, 0.5))
+    e_w = 87 * 81
+    step, frames = mega(8192, 4, lambda k, b: jnp.sum(
+        decode_minsum_qc(
+            wifi, awgn(k, jnp.ones((b, wifi.n), jnp.float32), sig_w),
+            10, storage_dtype=jnp.float16,
+        ).hard != 1))
+    record("min-sum T=10, REAL 802.11n (1944,972) z=81, QC f16", wifi.n,
+           972, step, frames, 10,
+           bytes_per_frame_iter=msg_bytes(e_w, wifi.n, storage=2))
+    step, frames = mega(8192, 4, lambda k, b: jnp.sum(
+        decode_minsum_layered_qc(
+            wifi, awgn(k, jnp.ones((b, wifi.n), jnp.float32), sig_w), 10
+        ).hard != 1))
+    record("layered min-sum T=10, REAL 802.11n (1944,972) z=81", wifi.n,
+           972, step, frames, 10,
+           bytes_per_frame_iter=msg_bytes(e_w, wifi.n, ndirs=2))
+
     # SM-NGDBF with QC graph ops, T=100 at its operating point
     snr_g = 3.25
     sigma_g = float(snr_to_sigma(snr_g, rate))
@@ -593,6 +615,82 @@ def main(argv: Optional[List[str]] = None) -> int:
             ).symbols != 0))
         record(label, nbc.n, k_info, step, frames, 20,
                bytes_per_frame_iter=nb_bytes, early_term=True)
+
+    # NB STREAM rows (round 4): the real NB codes through the streaming
+    # refill driver (harness/stream.py nb_qspa_stream) — lanes retire and
+    # refill every iteration, so the row pays the measured AVERAGE
+    # iterations per frame (~10/8 at these operating points), not the cap.
+    def record_stream_nb(label, rel, snr_nb, lanes, rounds_, T_, avg_hint):
+        if args.only and args.only.lower() not in label.lower():
+            return
+        p = _os.path.join("/root/reference", rel)
+        if not _os.path.exists(p):
+            return
+        from ..codes import load_alist as _la
+        from ..harness.stream import (build_channel_pool_nb,
+                                      make_stream_call, nb_qspa_stream,
+                                      stream_init)
+
+        nbc = build_code(_la(p))
+        q_nb = nbc.q
+        m_bits = q_nb.bit_length() - 1
+        e_nb = int(np.sum(np.asarray(nbc.cn_mask)))
+        k_info = (nbc.n - nbc.m) * m_bits
+        rate_nb = (nbc.n - nbc.m) / nbc.n
+        n0r = float(snr_to_n0(snr_nb, rate_nb))
+        sigr = float((n0r / 2) ** 0.5)
+        nb_bytes = (
+            4 * e_nb * q_nb * 2 + 2 * e_nb * 4 + 2 * nbc.n * q_nb * 4
+        )
+        width = nbc.n * m_bits
+        sdec = nb_qspa_stream(nbc, n0r, q_nb, storage_dtype=jnp.float16)
+        F = lanes + int(lanes * rounds_ / avg_hint)
+        root = jax.random.key(0)
+        state = stream_init(sdec, lanes, width, jnp.float16)
+        callf = make_stream_call(sdec, nbc.n, T_, rounds_, 1,
+                                 max_weight=width)
+
+        @jax.jit
+        def pool_fn(base_):
+            return build_channel_pool_nb(
+                sdec, root, base_, F, nbc.n, q_nb, sigr,
+                pool_dtype=jnp.float16,
+            )
+
+        base = 0
+        samples = []
+        for i in range(1 + args.repeats):
+            t0 = time.perf_counter()
+            pool, unc, sat0 = pool_fn(jnp.int32(base))
+            state2, acc, _rec = callf(state, pool, unc, sat0,
+                                      jnp.int32(base))
+            a = jax.device_get(acc)
+            dtc = time.perf_counter() - t0
+            state = state2
+            base += int(a["consumed"])
+            if i > 0:  # first call = compile + lane warmup
+                samples.append(
+                    (dtc, int(a["frames"]),
+                     int(a["iter_sum"]) / max(int(a["frames"]), 1))
+                )
+        dtm, fr, avg_it = sorted(samples)[len(samples) // 2]
+        bits = fr * k_info / dtm
+        gbps = fr * avg_it * nb_bytes / dtm
+        rows.append((label, T_, fr, dtm, bits, gbps, False))
+        print(
+            f"{label}: {dtm*1e3:.0f} ms, {bits/1e6:.1f} Mb/s "
+            f"(avg {avg_it:.1f} it/frame)",
+            file=sys.stderr,
+        )
+
+    record_stream_nb(
+        "FFT-QSPA GF(4) T<=20 REAL @2.2dB, STREAM refill, log-f16",
+        "SystemC/NB-LDPC/codes/GF4/q4.sp.9000.6000.4500.1", 2.2,
+        512, 64, 20, 10.0)
+    record_stream_nb(
+        "FFT-QSPA GF(8) T<=20 REAL @2.4dB, STREAM refill, log-f16",
+        "SystemC/NB-LDPC/codes/GF8/q8.sp.6000.4000.3000.1", 2.4,
+        512, 64, 20, 8.0)
 
     header = [
         "# Measured decoder throughput (single TPU v5e chip)",
