@@ -197,6 +197,53 @@ def _syndrome_sum_per_vn(code: Code, syn: jax.Array) -> jax.Array:
     return jnp.sum(g, axis=1)
 
 
+def flip_decisions(cfg: GDBFConfig, e, thetas, mu, noise_sigma, rnum):
+    """(flip, flip_for_adapt) masks from the flip metric ``e`` [N, B].
+
+    The flip-rule block shared verbatim by the batched decoder and the
+    streaming harness (``decodeGDBF.cpp:562-620``):
+
+      * stochastic (``quantizeProbabilities``): flip probability
+        ``Φ((θ_i − E_i)/σ')`` snapped to the nearest of the 8 hardware
+        levels (squared distance, first minimum wins), Bernoulli via the
+        caller-supplied uniforms ``rnum`` [N, B];
+      * parallel mode: flip every ``E_i < θ_i``;
+      * sequential mode (``mu == 0``): flip only the argmin (first
+        minimum, strict ``<`` scan), with the reference's transient
+        running-minimum candidate flags driving threshold adaptation
+        (exclusive prefix-min).
+    """
+    dtype = e.dtype
+    n, b = e.shape
+    if cfg.quantize_probabilities:
+        pcdf = jax.scipy.stats.norm.cdf((thetas - e) / noise_sigma)
+        levels = jnp.asarray(PR_LEVELS, dtype)
+        dist = (levels[None, None, :] - pcdf[:, :, None]) ** 2
+        # strict < scan with min_dist initialized to 1 -> first minimum
+        # wins, and a distance of exactly 1 keeps index 0
+        lvl_idx = jnp.argmin(jnp.where(dist < 1.0, dist, 1.0), axis=-1)
+        p_flip = levels[lvl_idx]
+        flip = rnum < p_flip
+        return flip, flip
+    flip_par = e < thetas
+    # sequential: argmin of E (first minimum, strict < scan)
+    amin = jnp.argmin(e, axis=0)  # [B]
+    one_hot = (
+        jax.lax.broadcasted_iota(jnp.int32, (n, b), 0) == amin[None, :]
+    )
+    # transient running-minimum flags (exclusive prefix-min) drive
+    # threshold adaptation in sequential mode
+    run_min = jax.lax.associative_scan(jnp.minimum, e, axis=0)
+    excl_min = jnp.concatenate(
+        [jnp.full((1, b), jnp.inf, dtype), run_min[:-1]], axis=0
+    )
+    flip_seq_trans = e < excl_min
+    is_par = (mu == 1)[None, :]
+    flip = jnp.where(is_par, flip_par, one_hot)
+    flip_for_adapt = jnp.where(is_par, flip_par, flip_seq_trans)
+    return flip, flip_for_adapt
+
+
 @functools.partial(jax.jit, static_argnames=("qc", "trace"))
 def decode_gdbf(
     code: Code,
@@ -372,16 +419,8 @@ def decode_gdbf(
             syn_sum_vn = _syndrome_sum_per_vn(code, syn)
         e = d.astype(dtype) * y_t + w * syn_sum_vn + pert
 
-        # --- flip decisions
+        # --- flip decisions (decodeGDBF.cpp:562-620, shared block)
         if cfg.quantize_probabilities:
-            # stochastic NGDBF (decodeGDBF.cpp:562-597)
-            pcdf = jax.scipy.stats.norm.cdf((thetas - e) / noise_sigma)
-            levels = jnp.asarray(PR_LEVELS, dtype)
-            dist = (levels[None, None, :] - pcdf[:, :, None]) ** 2
-            # strict < scan with min_dist initialized to 1 -> first minimum
-            # wins, and a distance of exactly 1 keeps index 0
-            lvl_idx = jnp.argmin(jnp.where(dist < 1.0, dist, 1.0), axis=-1)
-            p_flip = levels[lvl_idx]
             if stoch_uniforms is not None:
                 rnum = jax.lax.dynamic_index_in_dim(
                     stoch_uniforms, step, axis=0, keepdims=False
@@ -389,26 +428,11 @@ def decode_gdbf(
             else:
                 kflip = jax.random.fold_in(jax.random.fold_in(key, step), 7)
                 rnum = jax.random.uniform(kflip, (n, b), dtype)
-            flip = rnum < p_flip
-            flip_for_adapt = flip
         else:
-            flip_par = e < thetas
-            # sequential: argmin of E (first minimum, strict < scan)
-            amin = jnp.argmin(e, axis=0)  # [B]
-            one_hot = (
-                jax.lax.broadcasted_iota(jnp.int32, (n, b), 0)
-                == amin[None, :]
-            )
-            # transient running-minimum flags (exclusive prefix-min) drive
-            # threshold adaptation in sequential mode
-            run_min = jax.lax.associative_scan(jnp.minimum, e, axis=0)
-            excl_min = jnp.concatenate(
-                [jnp.full((1, b), jnp.inf, dtype), run_min[:-1]], axis=0
-            )
-            flip_seq_trans = e < excl_min
-            is_par = (mu == 1)[None, :]
-            flip = jnp.where(is_par, flip_par, one_hot)
-            flip_for_adapt = jnp.where(is_par, flip_par, flip_seq_trans)
+            rnum = None
+        flip, flip_for_adapt = flip_decisions(
+            cfg, e, thetas, mu, noise_sigma, rnum
+        )
 
         d = jnp.where(act[None, :] & flip, -d, d)
 

@@ -31,9 +31,10 @@ only the int8 decision carry is masked; a satisfied frame's message state
 evolves freely until its lane is refilled.
 
 Scope: deterministic soft message-passing decoders (min-sum variants and BP,
-generic slot-array and QC paths).  Decoders with per-iteration RNG (GDBF
-family) or internal accumulator statistics (DD-BMP) keep the batched
-harness, whose per-batch keying their parity tests pin down.
+generic slot-array and QC paths) plus non-binary QSPA.  The GDBF/NGDBF
+family streams through :mod:`.stream_gdbf` (per-(frame, step) noise
+keying).  DD-BMP keeps the batched harness, whose per-batch keying its
+parity tests pin down.
 """
 
 from __future__ import annotations
@@ -360,7 +361,14 @@ def make_stream_call(
         )
 
     @functools.partial(jax.jit, donate_argnums=(0,))
-    def call(state, pool, pool_unc, pool_sat0, base):
+    def call(state, pool, pool_unc, pool_sat0, base, ptr0=0):
+        # ptr0 pre-consumes the pool: ptr0 == pool size makes this a DRAIN
+        # call (no refills; in-flight lanes retire into the counters then
+        # idle).  Draining before reading final statistics removes the
+        # drop bias of in-flight frames — they are enriched in slow/
+        # failing frames, so discarding them skews FER low (measured ~9%
+        # at GDBF T=100 geometries before the fix).
+        ptr0 = jnp.asarray(ptr0, jnp.int32)
         acc = dict(
             frames=jnp.int32(0),
             bit_errs=jnp.int32(0),
@@ -383,18 +391,27 @@ def make_stream_call(
             else None
         )
 
-        def round_body(_r, carry):
-            st, ptr, acc, rec, rc = carry
+        def round_cond(carry):
+            r, st, *_ = carry
+            # early exit once every lane is idle (pool exhausted and all
+            # retired) — makes DRAIN calls cost ~T iterations instead of
+            # the full rounds*K budget; never fires in normal calls
+            return (r < rounds) & ((r == 0) | ~jnp.all(st["idle"]))
+
+        def round_body(carry):
+            r, st, ptr, acc, rec, rc = carry
             st, ptr, acc, rec, rc = boundary(
                 st, ptr, acc, rec, rc, pool, pool_unc, pool_sat0, base
             )
             st = jax.lax.fori_loop(0, K, lambda _j, s: iterate(s), st)
-            return st, ptr, acc, rec, rc
+            return r + 1, st, ptr, acc, rec, rc
 
-        st, ptr, acc, rec, rc = jax.lax.fori_loop(
-            0, rounds, round_body, (state, jnp.int32(0), acc, rec, jnp.int32(0))
+        _r, st, ptr, acc, rec, rc = jax.lax.while_loop(
+            round_cond,
+            round_body,
+            (jnp.int32(0), state, ptr0, acc, rec, jnp.int32(0)),
         )
-        acc = dict(acc, consumed=ptr, rc=rc)
+        acc = dict(acc, consumed=ptr - ptr0, rc=rc)
         return st, acc, rec
 
     return call
@@ -463,9 +480,13 @@ def simulate_stream(
     """Monte-Carlo loop over the streaming driver (all-zero codewords).
 
     Same stopping semantics as :func:`.montecarlo.simulate`, evaluated
-    between device calls; statistics count *retired* frames only (frames
-    in flight when the stop rule fires are dropped — frames are iid, so
-    this is unbiased, and every counted frame is complete).
+    between device calls.  After the stop rule fires, in-flight lanes are
+    DRAINED (same compiled call with the pool pre-exhausted) so every
+    injected frame is counted exactly once: a frame occupies a lane in
+    proportion to its decode time, so in-flight frames are enriched in
+    slow/failing frames and dropping them would bias FER low (measured
+    ~9% at GDBF T=100 geometries).  With the drain, the counted set is an
+    outcome-independent prefix of the (seed, index) frame sequence.
 
     ``pool_frames`` defaults to the expected per-call consumption
     (lanes × iterations / avg_iters_hint) + one lane width of slack;
@@ -499,12 +520,8 @@ def simulate_stream(
     stats.iteration_hist = np.zeros(num_iterations + 1, np.int64)
     t0 = time.perf_counter()
     base = 0
-    for ci in range(max_calls):
-        if stop.done(stats.errors, stats.word_errors, stats.total_words):
-            break
-        pool, unc, sat0 = pool_fn(jnp.int32(base))
-        state, acc, _rec = call(state, pool, unc, sat0, jnp.int32(base))
-        a = jax.device_get(acc)
+
+    def take(a):
         stats.total_words += int(a["frames"])
         stats.total_bits += int(a["frames"]) * code_n
         stats.errors += int(a["bit_errs"])
@@ -516,9 +533,34 @@ def simulate_stream(
         stats.error_weight_hist[: code_n] += np.asarray(
             a["weight_hist"][1:], np.int64
         )
+
+    pool = unc = sat0 = None
+    for ci in range(max_calls):
+        if stop.done(stats.errors, stats.word_errors, stats.total_words):
+            break
+        pool, unc, sat0 = pool_fn(jnp.int32(base))
+        state, acc, _rec = call(state, pool, unc, sat0, jnp.int32(base))
+        a = jax.device_get(acc)
+        take(a)
         base += int(a["consumed"])
         if verbose:
             print(stats.incremental_report())
+    # drain: retire the in-flight lanes so every injected frame is counted
+    # exactly once.  In-flight frames are enriched in slow/failing frames
+    # (a frame occupies a lane in proportion to its decode time), so
+    # dropping them biases FER low; draining restores the counted set to
+    # an outcome-independent prefix of the (seed, index) frame sequence.
+    # Same compiled call with the pool pre-exhausted (ptr0 = pool size).
+    if pool is not None:
+        for _di in range(2 + num_iterations // max(iters_per_call, 1)):
+            state, acc, _rec = call(
+                state, pool, unc, sat0, jnp.int32(base),
+                int(pool.shape[0]),  # Python int: same weak-typed signature as the default 0 (no drain recompile)
+            )
+            a = jax.device_get(acc)
+            if int(a["frames"]) == 0:
+                break
+            take(a)
     stats.wall_seconds = time.perf_counter() - t0
     return stats
 
@@ -661,13 +703,8 @@ def simulate_stream_nb(
     stats = NBMCStats(n=code.n, q=q)
     t0 = time.perf_counter()
     base = 0
-    for _ci in range(max_calls):
-        if stop.done(stats.bit_errors, stats.word_errors,
-                     stats.total_words):
-            break
-        pool, unc, sat0 = pool_fn(jnp.int32(base))
-        state, acc, _rec = call(state, pool, unc, sat0, jnp.int32(base))
-        a = jax.device_get(acc)
+
+    def take(a):
         stats.total_words += int(a["frames"])
         stats.total_symbols += int(a["frames"]) * code.n
         stats.total_bits += int(a["frames"]) * code.n * m_bits
@@ -676,11 +713,34 @@ def simulate_stream_nb(
         stats.word_errors += int(a["word_errs"])
         stats.total_iterations += int(a["iter_sum"])
         stats.uncoded_symbol_errors += int(a["unc_sum"])
+
+    pool = unc = sat0 = None
+    for _ci in range(max_calls):
+        if stop.done(stats.bit_errors, stats.word_errors,
+                     stats.total_words):
+            break
+        pool, unc, sat0 = pool_fn(jnp.int32(base))
+        state, acc, _rec = call(state, pool, unc, sat0, jnp.int32(base))
+        a = jax.device_get(acc)
+        take(a)
         base += int(a["consumed"])
         if verbose:
             print(
                 f"stream_nb: {stats.total_words} frames, "
                 f"SER={stats.ser:.4g} BER={stats.ber:.4g}"
             )
+    # drain in-flight lanes (see simulate_stream: dropping them biases
+    # FER low — they are enriched in slow/failing frames)
+    if pool is not None:
+        iters_per_call = rounds_per_call * refill_every
+        for _di in range(2 + num_iterations // max(iters_per_call, 1)):
+            state, acc, _rec = call(
+                state, pool, unc, sat0, jnp.int32(base),
+                int(pool.shape[0]),  # Python int: same weak-typed signature as the default 0 (no drain recompile)
+            )
+            a = jax.device_get(acc)
+            if int(a["frames"]) == 0:
+                break
+            take(a)
     stats.wall_seconds = time.perf_counter() - t0
     return stats

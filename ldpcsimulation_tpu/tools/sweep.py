@@ -125,12 +125,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--early-termination", action="store_true")
     p.add_argument(
         "--stream", action="store_true",
-        help="early-terminating min-sum/BP only: run the streaming refill "
-             "harness (persistent lanes + per-frame-keyed channel pool) "
-             "instead of the batched masked loop — same per-frame "
-             "statistics (bit-exact, tests/test_stream.py), no straggler "
-             "tax (~1.5-1.8x on the flagship QC rows, docs/PERF.md).  "
-             "All-zero codewords; lanes = --batch.",
+        help="min-sum/BP (with --early-termination), gdbf, nbqspa: run "
+             "the streaming refill harness (persistent lanes + "
+             "per-frame-keyed channel pool) instead of the batched masked "
+             "loop — same per-frame statistics (bit-exact, "
+             "tests/test_stream.py and test_stream_gdbf.py; GDBF decoder "
+             "noise is keyed per (frame, step) instead of per (batch, "
+             "step) — statistically identical, replayable by "
+             "coordinates), no straggler tax (~1.5-1.8x on the flagship "
+             "QC rows, docs/PERF.md).  All-zero codewords; "
+             "lanes = --batch.",
     )
     p.add_argument(
         "--msg-dtype", choices=["f32", "f16"], default="f32",
@@ -314,12 +318,17 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     if args.stream:
         if args.decoder not in (
-            "minsum", "offsetminsum", "normalizedminsum", "bp"
+            "minsum", "offsetminsum", "normalizedminsum", "bp",
+            "gdbf", "nbqspa",
         ):
             raise SystemExit(
-                "sweep: error: --stream supports min-sum and BP only"
+                "sweep: error: --stream supports min-sum, BP, gdbf and "
+                "nbqspa"
             )
-        if not args.early_termination:
+        if args.decoder not in ("gdbf", "nbqspa") and (
+            not args.early_termination
+        ):
+            # gdbf/nbqspa always early-terminate (syndrome check built in)
             raise SystemExit(
                 "sweep: error: --stream requires --early-termination "
                 "(fixed-trip decodes have no straggler tax to remove)"
@@ -558,13 +567,23 @@ def main(argv: Optional[List[str]] = None) -> int:
                 if nq is not None:
                     out = quantize_round(out, ymax or 2.25, int(nq))
                 return out
-            stats = run_point(
-                snr,
-                lambda yq, key: decode_gdbf(
-                    code, yq, sigma, cfg, key=key, qc=qc, dense=dense
-                ),
-                preprocess=pre,
-            )
+            if args.stream:
+                from ..harness.stream_gdbf import simulate_stream_gdbf
+
+                stats = simulate_stream_gdbf(
+                    code, cfg, snr, rate=rate, stop=stop,
+                    lanes=args.batch, refill_every=2, rounds_per_call=32,
+                    seed=args.seed, preprocess=pre, qc=qc, dense=dense,
+                    verbose=args.verbose,
+                )
+            else:
+                stats = run_point(
+                    snr,
+                    lambda yq, key: decode_gdbf(
+                        code, yq, sigma, cfg, key=key, qc=qc, dense=dense
+                    ),
+                    preprocess=pre,
+                )
             row = gdbf_log_row(
                 snr, stats, T, cfg.theta, alist_name,
                 noise_scale=cfg.noise_scale if cfg.add_noise or cfg.quantize_probabilities else None,
@@ -596,16 +615,30 @@ def main(argv: Optional[List[str]] = None) -> int:
             )
             row = minsum_log_row(snr, stats, T, alist_name, ymax=ym)
         elif args.decoder == "nbqspa":
-            from ..harness.montecarlo_nb import simulate_nb
+            if args.stream:
+                from ..harness.stream import simulate_stream_nb
 
-            nb_stats = simulate_nb(
-                code, snr_db=snr, num_iterations=T, rate=rate,
-                stop=stop, batch_size=args.batch, seed=args.seed,
-                early_termination=args.early_termination,
-                storage_dtype=(
-                    jnp.float16 if args.msg_dtype == "f16" else None
-                ),
-            )
+                nb_stats = simulate_stream_nb(
+                    code, snr_db=snr, num_iterations=T, rate=rate,
+                    stop=stop, lanes=args.batch, refill_every=1,
+                    rounds_per_call=32, seed=args.seed,
+                    storage_dtype=(
+                        jnp.float16 if args.msg_dtype == "f16" else None
+                    ),
+                    pool_dtype=jnp.float16,
+                    verbose=args.verbose,
+                )
+            else:
+                from ..harness.montecarlo_nb import simulate_nb
+
+                nb_stats = simulate_nb(
+                    code, snr_db=snr, num_iterations=T, rate=rate,
+                    stop=stop, batch_size=args.batch, seed=args.seed,
+                    early_termination=args.early_termination,
+                    storage_dtype=(
+                        jnp.float16 if args.msg_dtype == "f16" else None
+                    ),
+                )
             # NB row: SNR SER BER avgIters FER T alist
             row = "\t".join(
                 fmt(v) for v in (

@@ -352,7 +352,40 @@ def test_sweep_stream_rejects_bad_combos(tmp_path):
         ])  # no --early-termination
     with pytest.raises(SystemExit):
         sweep_mod.main([
-            "gdbf", "--code", "qc_1008_504", "--snr", "2.0", "-T", "5",
+            "ngdbfhw", "--code", "qc_1008_504", "--snr", "2.0", "-T", "5",
             "--log", str(tmp_path / "y.log"), "--stream",
             "--early-termination",
-        ])  # unsupported decoder
+        ])  # unsupported decoder (fixed-frame-count harness)
+
+
+def test_sweep_stream_cli_gdbf_and_nbqspa(tmp_path):
+    """--stream CLI routes for the round-4 additions: a GDBF preset
+    (per-frame keyed decoder noise, harness/stream_gdbf.py) and NB-QSPA
+    (harness/stream.py nb pool), reference log-row formats intact."""
+    from ldpcsimulation_tpu.tools import sweep as sweep_mod
+
+    log = str(tmp_path / "gdbf_stream.log")
+    rc = sweep_mod.main([
+        "gdbf", "--preset", "SMNGDBF", "--code", "qc_1008_504",
+        "--snr", "3.5", "-T", "12", "--theta", "-0.7",
+        "--noise-scale", "0.9", "--lam", "0.98", "--alpha", "0.8",
+        "--window", "8", "--log", log, "--batch", "64",
+        "--stream", "--max-frames", "128", "--min-errors", "1",
+        "--min-word-errors", "1",
+    ])
+    assert rc == 0
+    row = open(log).read().strip()
+    assert row and len(row.split("\n")) == 1
+    # smoothing_used column present (SMNGDBF row format)
+    assert "qc_1008_504" in row
+
+    log2 = str(tmp_path / "nb_stream.log")
+    rc = sweep_mod.main([
+        "nbqspa", "--nb-random", "24:12:3:4", "--snr", "2.5", "-T", "8",
+        "--log", log2, "--batch", "64", "--stream",
+        "--max-frames", "128", "--min-errors", "1",
+        "--min-word-errors", "1",
+    ])
+    assert rc == 0
+    row2 = open(log2).read().strip()
+    assert row2 and len(row2.split("\n")) == 1
