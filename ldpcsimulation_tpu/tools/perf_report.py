@@ -442,6 +442,81 @@ def main(argv: Optional[List[str]] = None) -> int:
     record("SM-NGDBF T<=100 @3.25dB, QC ops", qc.n, 504, step, frames, 100,
            bytes_per_frame_iter=flip_bytes(3024, qc.n, 504), early_term=True)
 
+    # SM-NGDBF at a WORKING operating point (the 3.25dB/alpha=2.3 script
+    # point diverges — see the verify notes; alpha=0.75 @3.5dB converges
+    # at ~53 avg iterations, FER 0.115): batched ET vs the round-4
+    # streaming harness (per-frame keyed noise, harness/stream_gdbf.py).
+    snr_w2 = 3.5
+    sigma_w2 = float(snr_to_sigma(snr_w2, rate))
+    cfg_w2 = preset("SMNGDBF", num_iterations=100, theta=-0.9,
+                    noise_scale=0.975, lam=0.988, alpha=0.75,
+                    window_size=64)
+    step, frames = mega(8192, 2, lambda k, b: jnp.sum(
+        decode_gdbf(
+            qc.to_code(),
+            awgn(k, jnp.ones((b, qc.n), jnp.float32), sigma_w2),
+            sigma_w2, cfg_w2, key=jax.random.fold_in(k, 99), qc=qc,
+        ).hard != 1))
+    record("SM-NGDBF T<=100 @3.5dB (working pt), QC, batched ET", qc.n,
+           504, step, frames, 100,
+           bytes_per_frame_iter=flip_bytes(3024, qc.n, 504),
+           early_term=True)
+
+    def record_stream_gdbf(label, cfg_, snr_, lanes, rounds_, K_,
+                           avg_hint):
+        if args.only and args.only.lower() not in label.lower():
+            return
+        from ..harness.stream_gdbf import (
+            build_channel_pool_gdbf,
+            gdbf_stream_init,
+            make_gdbf_stream_call,
+        )
+
+        sig = float(snr_to_sigma(snr_, rate))
+        F = lanes + int(lanes * rounds_ * K_ / avg_hint)
+        kch = jax.random.key(0)
+        kdec = jax.random.key(1)
+        state = gdbf_stream_init(qc.to_code(), cfg_, lanes)
+        callf = make_gdbf_stream_call(qc.to_code(), rounds_, K_, qc=qc)
+
+        @jax.jit
+        def pool_fn(base_):
+            return build_channel_pool_gdbf(
+                qc.to_code(), kch, base_, F, sig, qc=qc
+            )
+
+        base = 0
+        samples = []
+        for i in range(1 + args.repeats):
+            t0 = time.perf_counter()
+            pool, unc, sat0 = pool_fn(jnp.int32(base))
+            state, acc, _rec = callf(
+                state, pool, unc, sat0, jnp.int32(base), kdec, sig, cfg_
+            )
+            a = jax.device_get(acc)
+            dtc = time.perf_counter() - t0
+            base += int(a["consumed"])
+            if i > 0:  # first call = compile + lane warmup
+                samples.append(
+                    (dtc, int(a["frames"]),
+                     int(a["iter_sum"]) / max(int(a["frames"]), 1))
+                )
+        dtm, fr, avg_it = sorted(samples)[len(samples) // 2]
+        bits = fr * 504 / dtm
+        gbps = fr * avg_it * flip_bytes(3024, qc.n, 504) / dtm
+        rows.append((label, cfg_.num_iterations, fr, dtm, bits, gbps,
+                     False))
+        print(
+            f"{label}: {dtm*1e3:.0f} ms, {bits/1e6:.1f} Mb/s "
+            f"(avg {avg_it:.1f} it/frame)",
+            file=sys.stderr,
+        )
+
+    record_stream_gdbf(
+        "SM-NGDBF T<=100 @3.5dB (working pt), QC, STREAM refill (K=8)",
+        cfg_w2, snr_w2, 8192, 32, 8, 53.0,
+    )
+
     # NGDBFhw fixed point, 802.3an class, T=200 at 4.25 dB.  Two rows:
     # the gather baseline, and dense MXU graph ops — the sweep CLI's
     # default for unstructured H of this size (sweep.py dense_worthwhile)
