@@ -462,8 +462,9 @@ def main(argv: Optional[List[str]] = None) -> int:
            bytes_per_frame_iter=flip_bytes(3024, qc.n, 504),
            early_term=True)
 
-    def record_stream_gdbf(label, cfg_, snr_, lanes, rounds_, K_,
-                           avg_hint):
+    def record_stream_gdbf(label, code_, qc_, cfg_, snr_, rate_, lanes,
+                           rounds_, K_, avg_hint, k_info, e_edges, m_rows,
+                           pool_dtype=None):
         if args.only and args.only.lower() not in label.lower():
             return
         from ..harness.stream_gdbf import (
@@ -472,17 +473,20 @@ def main(argv: Optional[List[str]] = None) -> int:
             make_gdbf_stream_call,
         )
 
-        sig = float(snr_to_sigma(snr_, rate))
+        sig = float(snr_to_sigma(snr_, rate_))
         F = lanes + int(lanes * rounds_ * K_ / avg_hint)
         kch = jax.random.key(0)
         kdec = jax.random.key(1)
-        state = gdbf_stream_init(qc.to_code(), cfg_, lanes)
-        callf = make_gdbf_stream_call(qc.to_code(), rounds_, K_, qc=qc)
+        state = gdbf_stream_init(
+            code_, cfg_, lanes,
+            pool_dtype if pool_dtype is not None else jnp.float32,
+        )
+        callf = make_gdbf_stream_call(code_, rounds_, K_, qc=qc_)
 
         @jax.jit
         def pool_fn(base_):
             return build_channel_pool_gdbf(
-                qc.to_code(), kch, base_, F, sig, qc=qc
+                code_, kch, base_, F, sig, pool_dtype=pool_dtype, qc=qc_
             )
 
         base = 0
@@ -502,8 +506,8 @@ def main(argv: Optional[List[str]] = None) -> int:
                      int(a["iter_sum"]) / max(int(a["frames"]), 1))
                 )
         dtm, fr, avg_it = sorted(samples)[len(samples) // 2]
-        bits = fr * 504 / dtm
-        gbps = fr * avg_it * flip_bytes(3024, qc.n, 504) / dtm
+        bits = fr * k_info / dtm
+        gbps = fr * avg_it * flip_bytes(e_edges, code_.n, m_rows) / dtm
         rows.append((label, cfg_.num_iterations, fr, dtm, bits, gbps,
                      False))
         print(
@@ -514,8 +518,47 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     record_stream_gdbf(
         "SM-NGDBF T<=100 @3.5dB (working pt), QC, STREAM refill (K=8)",
-        cfg_w2, snr_w2, 8192, 32, 8, 53.0,
+        qc.to_code(), qc, cfg_w2, snr_w2, rate, 8192, 32, 8, 53.0,
+        504, 3024, 504,
     )
+
+    # SM-NGDBF on REAL DVB-S2 (64800,32400) — the reference's biggest
+    # NGDBF job (ngdbf_example_DVB_S2.sh; its shipped alpha=2.5 diverges,
+    # docs/CONFIGS.md — alpha=1.2 is the cross-validated working point:
+    # avg ~456 iterations against the T=700 cap, FER 0.25 @3.4dB).
+    try:
+        qc_dvb = load_named_qc("dvbs2_1_2_qc")
+    except Exception:
+        qc_dvb = None
+    if qc_dvb is not None:
+        cfg_dvb = preset("SMNGDBF", num_iterations=700, theta=-1.1,
+                         noise_scale=0.775, lam=0.987, alpha=1.2,
+                         window_size=64)
+        snr_dvb = 3.4
+        sigma_dvb = float(snr_to_sigma(snr_dvb, 0.5))
+        code_dvb = qc_dvb.to_code()
+        e_dvb = int(np.sum(np.asarray(code_dvb.cn_mask)))
+        step, frames = mega(2048, 1, lambda k, b: jnp.sum(
+            decode_gdbf(
+                code_dvb,
+                awgn(k, jnp.ones((b, code_dvb.n), jnp.float32),
+                     sigma_dvb),
+                sigma_dvb, cfg_dvb, key=jax.random.fold_in(k, 99),
+                qc=qc_dvb,
+            ).hard != 1))
+        record(
+            "SM-NGDBF T<=700 REAL DVB-S2 @3.4dB (working pt), batched ET",
+            code_dvb.n, 32400, step, frames, 700,
+            bytes_per_frame_iter=flip_bytes(
+                e_dvb, code_dvb.n, code_dvb.m
+            ),
+            early_term=True,
+        )
+        record_stream_gdbf(
+            "SM-NGDBF T<=700 REAL DVB-S2 @3.4dB, STREAM refill (K=16)",
+            code_dvb, qc_dvb, cfg_dvb, snr_dvb, 0.5, 2048, 16, 16,
+            456.0, 32400, e_dvb, code_dvb.m, pool_dtype=jnp.float16,
+        )
 
     # NGDBFhw fixed point, 802.3an class, T=200 at 4.25 dB.  Two rows:
     # the gather baseline, and dense MXU graph ops — the sweep CLI's

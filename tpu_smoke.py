@@ -96,6 +96,7 @@ def main() -> int:
             fromlist=["decode_ddbmp_stratified"],
         ).decode_ddbmp_stratified(sc, ys, 10).hard),
         ("minsum stream refill", lambda: _stream_check()),
+        ("gdbf stream refill", lambda: _stream_gdbf_check()),
         ("minsum_qc", lambda: decode_minsum_qc(qc, yq, 5).hard),
         ("minsum_qc f16", lambda: decode_minsum_qc(
             qc, yq, 5, storage_dtype=jnp.float16).hard),
@@ -161,6 +162,32 @@ def main() -> int:
         st = stream_init(sdec, 64, qc.n, jnp.float16)
         callf = make_stream_call(sdec, qc.n, 8, 12, 2)
         _st, acc, _rec = callf(st, pool, unc, sat0, jnp.int32(0))
+        assert int(acc["frames"]) > 0
+        return np.asarray(acc["bit_errs"], np.float64)
+
+    def _stream_gdbf_check():
+        # GDBF streaming harness (per-frame keyed noise + drain) on chip
+        from ldpcsimulation_tpu.harness.stream_gdbf import (
+            build_channel_pool_gdbf,
+            gdbf_stream_init,
+            make_gdbf_stream_call,
+        )
+
+        cfg = preset("SMNGDBF", 8, -0.8, window_size=6)
+        pool, unc, sat0 = build_channel_pool_gdbf(
+            qcode, jax.random.key(1), 0, 256, 0.7, qc=qc
+        )
+        st = gdbf_stream_init(qcode, cfg, 64)
+        callf = make_gdbf_stream_call(qcode, 12, 2, qc=qc)
+        st, acc, _rec = callf(
+            st, pool, unc, sat0, jnp.int32(0), jax.random.key(2), 0.7,
+            cfg,
+        )
+        # drain path (pool pre-exhausted; early-exit round loop)
+        _st, acc2, _ = callf(
+            st, pool, unc, sat0, jnp.int32(0), jax.random.key(2), 0.7,
+            cfg, int(pool.shape[0]),
+        )
         assert int(acc["frames"]) > 0
         return np.asarray(acc["bit_errs"], np.float64)
 
