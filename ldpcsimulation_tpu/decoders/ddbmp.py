@@ -115,6 +115,77 @@ def decode_ddbmp(
     return DecodeResult(hard=d.T, iterations=iters, satisfied=done)
 
 
+def qc_ddbmp_round(qc, cn_plan, vn_plan, mem, yb):
+    """One DD-BMP update round on the QC roll path -> (mem', d).
+
+    mem: [nb, dv_max, z, B] accumulator memories; yb: [nb, z, B] channel.
+    Shared verbatim by :func:`decode_ddbmp_qc` and the streaming adapter
+    (harness/stream.py ``ddbmp_qc_stream``) so the two cannot drift.
+    """
+    z = qc.z
+    dv_max = qc.dv_max
+    b = yb.shape[-1]
+    sign_y = sgn_pos(yb)
+    zero = jnp.zeros((z, b), yb.dtype)
+    # CN: sign product with exclusion-by-self (values ±1, order-free)
+    c2v = [[None] * len(qc.vn_blocks[bj]) for bj in range(qc.nb)]
+    for bi in range(qc.mb):
+        views = []
+        for e in cn_plan[bi]:
+            v = jnp.roll(sgn_pos(mem[e.bj, e.vslot]), -e.shift, axis=0)
+            if e.cn_mask is not None:
+                v = jnp.where(
+                    jnp.asarray(e.cn_mask)[:, None], jnp.ones_like(v), v
+                )
+            views.append(v)
+        prod = views[0]
+        for v in views[1:]:
+            prod = prod * v
+        for t, e in enumerate(cn_plan[bi]):
+            c2v[e.bj][e.vslot] = jnp.roll(
+                prod * views[t], e.shift, axis=0
+            )
+    totals = []
+    planes = []
+    dsums = []
+    for bj in range(qc.nb):
+        slots = []
+        for e, sa in zip(vn_plan[bj], c2v[bj]):
+            if e.zero_mask is not None:
+                sa = jnp.where(
+                    jnp.asarray(e.zero_mask)[:, None],
+                    jnp.zeros_like(sa), sa,
+                )
+            slots.append(sa)
+        # left fold FROM y (decodeDDBMP.cpp:399-407; see the generic
+        # decoder) — keeps QC bit-exact with generic AND with the C
+        acc = yb[bj]
+        for sa in slots:
+            acc = acc + sa
+        total = acc
+        totals.append(total)
+        mem_rows = []
+        outs = []
+        for s, (e, sa) in enumerate(zip(vn_plan[bj], slots)):
+            mrow = mem[bj, s] + (total - sa)
+            mem_rows.append(mrow)
+            o = sgn_pos(mrow)
+            if e.zero_mask is not None:
+                o = jnp.where(
+                    jnp.asarray(e.zero_mask)[:, None],
+                    jnp.zeros_like(o), o,
+                )
+            outs.append(o)
+        mem_rows += [zero] * (dv_max - len(mem_rows))
+        planes.append(jnp.stack(mem_rows))
+        osum = outs[0]
+        for o in outs[1:]:
+            osum = osum + o
+        dsums.append(sign_y[bj] + osum)
+    d = jnp.where(jnp.stack(dsums) > 0, 1, -1).astype(jnp.int32)
+    return jnp.stack(planes), d
+
+
 @functools.partial(jax.jit, static_argnames=("qc", "num_iterations"))
 def decode_ddbmp_qc(
     qc, yq: jax.Array, num_iterations: int
@@ -134,75 +205,16 @@ def decode_ddbmp_qc(
     y_t = jnp.asarray(yq).T  # [N, B]
     n, b = y_t.shape
     assert n == qc.n
-    z = qc.z
-    dv_max = qc.dv_max
-    yb = y_t.reshape(qc.nb, z, b)
+    yb = y_t.reshape(qc.nb, qc.z, b)
     cn_plan, vn_plan = qc_slot_plan(qc)
     mem0 = jnp.broadcast_to(
-        yb[:, None], (qc.nb, dv_max, z, b)
+        yb[:, None], (qc.nb, qc.dv_max, qc.z, b)
     ).astype(y_t.dtype)
     d0 = jnp.where(yb > 0, 1, -1).astype(jnp.int32)
-    sign_y = sgn_pos(yb)
-    zero = jnp.zeros((z, b), y_t.dtype)
 
     def one_round(mem):
-        # CN: sign product with exclusion-by-self (values ±1, order-free)
-        c2v = [[None] * len(qc.vn_blocks[bj]) for bj in range(qc.nb)]
-        for bi in range(qc.mb):
-            views = []
-            for e in cn_plan[bi]:
-                v = jnp.roll(sgn_pos(mem[e.bj, e.vslot]), -e.shift, axis=0)
-                if e.cn_mask is not None:
-                    v = jnp.where(
-                        jnp.asarray(e.cn_mask)[:, None], jnp.ones_like(v), v
-                    )
-                views.append(v)
-            prod = views[0]
-            for v in views[1:]:
-                prod = prod * v
-            for t, e in enumerate(cn_plan[bi]):
-                c2v[e.bj][e.vslot] = jnp.roll(
-                    prod * views[t], e.shift, axis=0
-                )
-        totals = []
-        planes = []
-        dsums = []
-        for bj in range(qc.nb):
-            slots = []
-            for e, sa in zip(vn_plan[bj], c2v[bj]):
-                if e.zero_mask is not None:
-                    sa = jnp.where(
-                        jnp.asarray(e.zero_mask)[:, None],
-                        jnp.zeros_like(sa), sa,
-                    )
-                slots.append(sa)
-            # left fold FROM y (decodeDDBMP.cpp:399-407; see the generic
-            # decoder) — keeps QC bit-exact with generic AND with the C
-            acc = yb[bj]
-            for sa in slots:
-                acc = acc + sa
-            total = acc
-            totals.append(total)
-            mem_rows = []
-            outs = []
-            for s, (e, sa) in enumerate(zip(vn_plan[bj], slots)):
-                mrow = mem[bj, s] + (total - sa)
-                mem_rows.append(mrow)
-                o = sgn_pos(mrow)
-                if e.zero_mask is not None:
-                    o = jnp.where(
-                        jnp.asarray(e.zero_mask)[:, None],
-                        jnp.zeros_like(o), o,
-                    )
-                outs.append(o)
-            mem_rows += [zero] * (dv_max - len(mem_rows))
-            planes.append(jnp.stack(mem_rows))
-            osum = outs[0]
-            for o in outs[1:]:
-                osum = osum + o
-            dsums.append(sign_y[bj] + osum)
-        d = jnp.where(jnp.stack(dsums) > 0, 1, -1).astype(jnp.int32)
-        return jnp.stack(planes), d
+        return qc_ddbmp_round(qc, cn_plan, vn_plan, mem, yb)
+
 
     init = (
         jnp.int32(0),

@@ -30,11 +30,10 @@ The per-iteration machinery mirrors ``run_flooding_soft``'s measured policy:
 only the int8 decision carry is masked; a satisfied frame's message state
 evolves freely until its lane is refilled.
 
-Scope: deterministic soft message-passing decoders (min-sum variants and BP,
-generic slot-array and QC paths) plus non-binary QSPA.  The GDBF/NGDBF
-family streams through :mod:`.stream_gdbf` (per-(frame, step) noise
-keying).  DD-BMP keeps the batched harness, whose per-batch keying its
-parity tests pin down.
+Scope: deterministic decoders (min-sum variants and BP — generic
+slot-array and QC paths —, DD-BMP on the QC path, non-binary QSPA); the
+GDBF/NGDBF family streams through :mod:`.stream_gdbf` (per-(frame, step)
+noise keying).
 """
 
 from __future__ import annotations
@@ -57,6 +56,7 @@ __all__ = [
     "minsum_qc_stream",
     "bp_qc_stream",
     "minsum_stream",
+    "ddbmp_qc_stream",
     "stream_init",
     "make_stream_call",
     "build_channel_pool",
@@ -88,6 +88,17 @@ class StreamDecoder:
                                       NB: bit errors of the symbols).
     errs2_of(d) -> [B] int32        — optional secondary counter
                                       (NB: symbol errors).
+
+    Iteration-count conventions (DD-BMP differs from the soft decoders,
+    ``decodeDDBMP.cpp:202-204`` vs ``decodeGDBF.cpp:300-306``):
+    check_at_injection=False        — do NOT retire channel-satisfied
+                                      frames at 0 iterations; the decoder
+                                      always runs >=1 update round before
+                                      its first syndrome check.
+    break_index=True                — report the 0-based break index
+                                      (updates executed minus one) for
+                                      satisfied frames; capped frames
+                                      still report T.
     """
 
     prep: Callable
@@ -98,6 +109,8 @@ class StreamDecoder:
     d_of: Optional[Callable] = None
     errs_of: Optional[Callable] = None
     errs2_of: Optional[Callable] = None
+    check_at_injection: bool = True
+    break_index: bool = False
 
 
 def minsum_qc_stream(
@@ -190,6 +203,42 @@ def minsum_stream(
         ),
         satisfied=lambda d: check_satisfied(code, d),
         hard=lambda d: d,
+    )
+
+
+def ddbmp_qc_stream(qc: QCCode) -> StreamDecoder:
+    """Stream adapter for :func:`..decoders.ddbmp.decode_ddbmp_qc` (same
+    round function object — bit-identical arithmetic).  DD-BMP is
+    deterministic, so it streams like the soft decoders; only its
+    iteration-count conventions differ (``check_at_injection=False``,
+    ``break_index=True`` — the batched decoder never checks the channel
+    decisions and reports the 0-based break index,
+    ``decodeDDBMP.cpp:202-204``).  Pool rows must be pre-quantized
+    (``preprocess=quantize_no_zero`` as in the sweep)."""
+    from ..decoders.ddbmp import qc_ddbmp_round
+    from ..decoders.minsum_qc import qc_check_satisfied, qc_slot_plan
+
+    cn_plan, vn_plan = qc_slot_plan(qc)
+
+    def prep(rows):
+        return rows.T.reshape(qc.nb, qc.z, -1)
+
+    def init(ych):
+        dt = jnp.promote_types(ych.dtype, jnp.float32)
+        shape = (qc.nb, qc.dv_max) + ych.shape[1:]
+        return jnp.broadcast_to(ych[:, None], shape).astype(dt)
+
+    return StreamDecoder(
+        prep=prep,
+        init=init,
+        step=_upcast_step(
+            lambda mem, yb: qc_ddbmp_round(qc, cn_plan, vn_plan, mem, yb)
+        ),
+        satisfied=lambda d: qc_check_satisfied(qc, d),
+        hard=lambda d: d.reshape(qc.n, -1),
+        d_of=lambda t: jnp.asarray(t).astype(jnp.int32),
+        check_at_injection=False,
+        break_index=True,
     )
 
 
@@ -288,6 +337,10 @@ def make_stream_call(
             hard = dec.hard(d)  # [N, B]
             errs = jnp.sum(hard != 1, axis=0, dtype=jnp.int32)  # [B]
         retire = (done | (iters >= T)) & ~idle
+        if dec.break_index:
+            # DD-BMP convention: satisfied frames report the 0-based
+            # break index (updates executed minus one); capped report T
+            iters = jnp.where(done, jnp.maximum(iters - 1, 0), iters)
         ri = retire.astype(jnp.int32)
         word = (errs > 0).astype(jnp.int32)
         acc = dict(
@@ -454,7 +507,12 @@ def build_channel_pool(
         # step, _upcast_step) — halves pool memory, refill-gather and
         # ych traffic; statistically invisible (f16 channel rounding)
         rows = rows.astype(pool_dtype)
-    sat0 = dec.satisfied(_sign8(dec.prep(rows)))
+    if dec.check_at_injection:
+        sat0 = dec.satisfied(_sign8(dec.prep(rows)))
+    else:
+        # DD-BMP convention: the batched decoder never checks the channel
+        # decisions — every frame runs at least one update round
+        sat0 = jnp.zeros((pool_frames,), bool)
     return rows, unc, sat0
 
 

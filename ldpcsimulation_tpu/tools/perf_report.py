@@ -321,12 +321,14 @@ def main(argv: Optional[List[str]] = None) -> int:
     # iterations per frame (not the cap) — stream rows do real work every
     # iteration, so this is a measurement, not a bound.
     def record_stream(label, sdec, preprocess, lanes, refill, rounds_, T_,
-                      avg_hint, k_info, n_, bytes_per_frame_iter=None):
+                      avg_hint, k_info, n_, bytes_per_frame_iter=None,
+                      sigma_=None):
         if args.only and args.only.lower() not in label.lower():
             return
         from ..harness.stream import build_channel_pool, make_stream_call, \
             stream_init
 
+        sig = sigma if sigma_ is None else sigma_
         F = lanes + int(lanes * rounds_ * refill / avg_hint)
         root = jax.random.key(0)
         state = stream_init(sdec, lanes, n_, jnp.float16)
@@ -335,7 +337,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         @jax.jit
         def pool_fn(base):
             return build_channel_pool(
-                sdec, root, base, F, n_, sigma, preprocess,
+                sdec, root, base, F, n_, sig, preprocess,
                 pool_dtype=jnp.float16,
             )
 
@@ -640,6 +642,19 @@ def main(argv: Optional[List[str]] = None) -> int:
            dd_qc.n, 2000, step, frames, 50,
            bytes_per_frame_iter=flip_bytes(16000, 4000, 2000),
            early_term=True)
+
+    # DD-BMP through the streaming refill driver (round 4): measured avg
+    # ~32 iterations against the T=50 cap at this operating point
+    from ..channel.quantize import quantize_no_zero as _qnz
+    from ..harness.stream import ddbmp_qc_stream
+
+    record_stream(
+        "DD-BMP T<=50 QC @3.9dB, STREAM refill (K=4)",
+        ddbmp_qc_stream(dd_qc), lambda y: _qnz(y, 1.5, 8.0),
+        4096, 4, 32, 50, 32.0, 2000, dd_qc.n,
+        bytes_per_frame_iter=flip_bytes(16000, 4000, 2000),
+        sigma_=float(snr_to_sigma(3.9, 0.5)),
+    )
 
     # DD-BMP T=50 on MacKay-class (4000,2000), gather baseline
     dd_code = load_named_code("reg4_4000_2000")

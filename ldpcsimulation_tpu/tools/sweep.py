@@ -319,16 +319,16 @@ def main(argv: Optional[List[str]] = None) -> int:
     if args.stream:
         if args.decoder not in (
             "minsum", "offsetminsum", "normalizedminsum", "bp",
-            "gdbf", "nbqspa",
+            "gdbf", "nbqspa", "ddbmp",
         ):
             raise SystemExit(
-                "sweep: error: --stream supports min-sum, BP, gdbf and "
-                "nbqspa"
+                "sweep: error: --stream supports min-sum, BP, gdbf, "
+                "nbqspa and ddbmp"
             )
-        if args.decoder not in ("gdbf", "nbqspa") and (
+        if args.decoder not in ("gdbf", "nbqspa", "ddbmp") and (
             not args.early_termination
         ):
-            # gdbf/nbqspa always early-terminate (syndrome check built in)
+            # gdbf/nbqspa/ddbmp always early-terminate (built in)
             raise SystemExit(
                 "sweep: error: --stream requires --early-termination "
                 "(fixed-trip decodes have no straggler tax to remove)"
@@ -608,11 +608,23 @@ def main(argv: Optional[List[str]] = None) -> int:
                 )
             else:
                 ddec = lambda yq, key: decode_ddbmp(code, yq, T)
-            stats = run_point(
-                snr,
-                ddec,
-                preprocess=lambda y: quantize_no_zero(y, ym, nql),
-            )
+            if args.stream:
+                from ..harness.stream import ddbmp_qc_stream
+
+                if qc is None:
+                    raise SystemExit(
+                        "sweep: error: --stream ddbmp requires a QC code"
+                    )
+                stats = run_stream_point(
+                    snr, ddbmp_qc_stream(qc),
+                    preprocess=lambda y: quantize_no_zero(y, ym, nql),
+                )
+            else:
+                stats = run_point(
+                    snr,
+                    ddec,
+                    preprocess=lambda y: quantize_no_zero(y, ym, nql),
+                )
             row = minsum_log_row(snr, stats, T, alist_name, ymax=ym)
         elif args.decoder == "nbqspa":
             if args.stream:

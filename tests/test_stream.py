@@ -321,6 +321,57 @@ def test_simulate_stream_nb_end_to_end():
     assert 0 < stats.avg_iterations <= 15
 
 
+@pytest.mark.parametrize("refill_every", [1, 3])
+def test_ddbmp_qc_stream_matches_batch(refill_every):
+    """DD-BMP streams with its own conventions (break-index iteration
+    counts; no channel-decision check at injection): per-frame (iters,
+    errs) equality vs decode_ddbmp_qc, including frames whose CHANNEL
+    decisions already satisfy (the batched decoder still runs them)."""
+    from ldpcsimulation_tpu.channel.quantize import quantize_no_zero
+    from ldpcsimulation_tpu.decoders.ddbmp import decode_ddbmp_qc
+    from ldpcsimulation_tpu.harness.stream import ddbmp_qc_stream
+
+    dec = ddbmp_qc_stream(QC)
+    pre = lambda y: quantize_no_zero(y, 1.5, 8.0)
+    # higher SNR so some frames' channel decisions satisfy outright —
+    # exercising the check_at_injection=False path
+    root = jax.random.key(7)
+    rows, _unc, sat0 = build_channel_pool(
+        dec, root, 0, 192, QC.n, float(snr_to_sigma(5.0, 0.5)), pre
+    )
+    assert not bool(np.asarray(sat0).any())  # convention: never pre-done
+    res = decode_ddbmp_qc(QC, rows, T)
+    hard = np.asarray(res.hard)
+    ref = {
+        g: (int(np.asarray(res.iterations)[g]),
+            int((hard[g] != 1).sum()))
+        for g in range(192)
+    }
+
+    state = stream_init(dec, 32, QC.n)
+    call = make_stream_call(dec, QC.n, T, 40, refill_every,
+                            record=True, rec_cap=256)
+    per_frame = {}
+    for base, f in [(0, 96), (96, 96)]:
+        pool, unc, s0 = build_channel_pool(
+            dec, root, base, f, QC.n, float(snr_to_sigma(5.0, 0.5)), pre
+        )
+        state, acc, rec = call(state, pool, unc, s0, jnp.int32(base))
+        a = jax.device_get(acc)
+        r = jax.device_get(rec)
+        for g, it, er in zip(r["gid"][: int(a["rc"])],
+                             r["iters"][: int(a["rc"])],
+                             r["errs"][: int(a["rc"])]):
+            assert int(g) not in per_frame
+            per_frame[int(g)] = (int(it), int(er))
+    assert len(per_frame) >= 150
+    for g, v in per_frame.items():
+        assert ref[g] == v, (g, ref[g], v)
+    # the reference convention: satisfied-at-channel frames report 0
+    # after ONE update (not zero updates) — present in this ensemble
+    assert any(v[0] == 0 for v in per_frame.values())
+
+
 def test_sweep_stream_cli(tmp_path):
     """--stream CLI route: min-sum QC and BP QC rows through the
     streaming harness, reference log-row format intact."""
@@ -389,3 +440,14 @@ def test_sweep_stream_cli_gdbf_and_nbqspa(tmp_path):
     assert rc == 0
     row2 = open(log2).read().strip()
     assert row2 and len(row2.split("\n")) == 1
+
+    log3 = str(tmp_path / "ddbmp_stream.log")
+    rc = sweep_mod.main([
+        "ddbmp", "--code", "qc_1008_504", "--snr", "3.9", "-T", "10",
+        "--log", log3, "--batch", "64", "--stream",
+        "--max-frames", "128", "--min-errors", "1",
+        "--min-word-errors", "1",
+    ])
+    assert rc == 0
+    row3 = open(log3).read().strip()
+    assert row3 and len(row3.split("\n")) == 1

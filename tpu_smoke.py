@@ -97,6 +97,7 @@ def main() -> int:
         ).decode_ddbmp_stratified(sc, ys, 10).hard),
         ("minsum stream refill", lambda: _stream_check()),
         ("gdbf stream refill", lambda: _stream_gdbf_check()),
+        ("ddbmp stream refill", lambda: _stream_ddbmp_check()),
         ("minsum_qc", lambda: decode_minsum_qc(qc, yq, 5).hard),
         ("minsum_qc f16", lambda: decode_minsum_qc(
             qc, yq, 5, storage_dtype=jnp.float16).hard),
@@ -188,6 +189,25 @@ def main() -> int:
             st, pool, unc, sat0, jnp.int32(0), jax.random.key(2), 0.7,
             cfg, int(pool.shape[0]),
         )
+        assert int(acc["frames"]) > 0
+        return np.asarray(acc["bit_errs"], np.float64)
+
+    def _stream_ddbmp_check():
+        # DD-BMP streaming adapter (break-index iteration convention)
+        from ldpcsimulation_tpu.harness.stream import (
+            build_channel_pool,
+            ddbmp_qc_stream,
+            make_stream_call,
+            stream_init,
+        )
+
+        sdec = ddbmp_qc_stream(qc)
+        pool, unc, sat0 = build_channel_pool(
+            sdec, jax.random.key(1), 0, 256, qc.n, 0.7,
+        )
+        st = stream_init(sdec, 64, qc.n)
+        callf = make_stream_call(sdec, qc.n, 8, 12, 2)
+        _st, acc, _rec = callf(st, pool, unc, sat0, jnp.int32(0))
         assert int(acc["frames"]) > 0
         return np.asarray(acc["bit_errs"], np.float64)
 
