@@ -213,31 +213,73 @@ def nb_qspa_machine(code: Code, q: int, dtype=jnp.float32,
             fwd_arg = jnp.take(jnp.asarray(fwd_tbl), h_cn, axis=0)
             inv_arg = jnp.take(jnp.asarray(inv_tbl), h_cn, axis=0)
 
+    if q <= _FUSED_QMAX:
+        # per-dc-column views of the coefficient classes / sign tables and
+        # padding masks, for the column-major fused CN below
+        if q <= 4:
+            _hs = h_cn.reshape(code.m, code.dc_max)
+            _fcomb = [
+                (lambda t: lambda x: _class_combine(_hs[:, t], x, fwd_tbl))(t)
+                for t in range(code.dc_max)
+            ]
+            _icomb = [
+                (lambda t: lambda x: _class_combine(_hs[:, t], x, inv_tbl))(t)
+                for t in range(code.dc_max)
+            ]
+        else:
+            _fwd_s = fwd_arg.reshape(code.m, code.dc_max, q, q)
+            _inv_s = inv_arg.reshape(code.m, code.dc_max, q, q)
+            _fcomb = [
+                (lambda t: lambda x: _signed_combine(_fwd_s[:, t], x))(t)
+                for t in range(code.dc_max)
+            ]
+            _icomb = [
+                (lambda t: lambda x: _signed_combine(_inv_s[:, t], x))(t)
+                for t in range(code.dc_max)
+            ]
+        _mask_c = code.cn_mask  # [m, dc_max]
+
     def cn_update(v2c):
         """v2c [N*dv_max, q, B] log-domain -> c2v [M*dc_max, q, B] log."""
         b = v2c.shape[-1]
         g = jnp.take(v2c, cn_gather, axis=0)  # [M*dc_max, q, B]
         g = jnp.exp(g.astype(dtype))  # x-domain, ≤ 1 (max-normalized logs)
         if q <= _FUSED_QMAX:
-            # fused coefficient-rescale + WHT (see _wht_sign_tables): one
-            # elementwise pass; a padding slot's contribution is delta0,
-            # whose transform is all-ones under any coefficient.
-            f = combine(g, fwd_arg)
-            f = jnp.where(cn_mask, f, jnp.ones_like(f))
-            f = f.reshape(code.m, code.dc_max, q, b)
+            # fused coefficient-rescale + WHT (see _wht_sign_tables),
+            # processed COLUMN-MAJOR over the dc axis: each column's
+            # exclusion-product -> inverse-combine -> log -> f16 chain
+            # fuses into its own output write, so the [m, dc, q, B]
+            # exclusion stack and the second combine's input are never
+            # materialized (round 4: -22% CN wall on the real GF(4) code).
+            # A padding slot's contribution is delta0, whose transform is
+            # all-ones under any coefficient.  Identical operations and
+            # accumulation orders as the flat form — bit-exact.
+            gs = g.reshape(code.m, code.dc_max, q, b)
+            f = []
+            for t in range(code.dc_max):
+                ft = _fcomb[t](gs[:, t])
+                f.append(
+                    jnp.where(
+                        _mask_c[:, t][:, None, None], ft, jnp.ones_like(ft)
+                    )
+                )
             # exact exclusion via prefix/suffix products over the dc axis
             ones = jnp.ones((code.m, q, b), dtype)
             pre = [ones]
             for t in range(code.dc_max - 1):
-                pre.append(pre[-1] * f[:, t])
+                pre.append(pre[-1] * f[t])
             suf = [ones]
             for t in range(code.dc_max - 1, 0, -1):
-                suf.append(suf[-1] * f[:, t])
+                suf.append(suf[-1] * f[t])
             suf.reverse()
-            excl = jnp.stack(
-                [pre[t] * suf[t] for t in range(code.dc_max)], axis=1
-            ).reshape(code.m * code.dc_max, q, b)
-            out = combine(excl, inv_arg)  # inv WHT · q + post-perm
+            outs = []
+            for t in range(code.dc_max):
+                o = _icomb[t](pre[t] * suf[t])  # inv WHT · q + post-perm
+                o = jnp.maximum(o, 0.0)
+                outs.append(jnp.log(o + eps).astype(sdtype))
+            return jnp.stack(outs, axis=1).reshape(
+                code.m * code.dc_max, q, b
+            )
         else:
             # coefficient rescale; padding slots become delta at 0 (the
             # additive identity — exactly a non-edge's contribution)
@@ -268,7 +310,16 @@ def nb_qspa_machine(code: Code, q: int, dtype=jnp.float32,
         return jnp.log(out + eps).astype(sdtype)
 
     def vn_update(c2v, log_pri):
-        """c2v [M*dc_max, q, B] log-domain -> (v2c log, log_post)."""
+        """c2v [M*dc_max, q, B] log-domain -> (v2c log, log_post).
+
+        Column-major over the dv axis for small q (round 4, same argument
+        as cn_update): each slot's exclusion-sum -> max-normalize -> f16
+        chain fuses into its own output write instead of materializing
+        the [n, dv, q, B] stack.  Identical sums/orders — bit-exact.
+        Large q keeps the stacked form (GF(64) measured 35% SLOWER on the
+        per-slot chains — the wide-q stacked max/normalize vectorizes
+        better than dv separate passes).
+        """
         b = c2v.shape[-1]
         g = jnp.take(c2v, vn_gather, axis=0)  # [N*dv_max, q, B]
         logg = jnp.where(vn_mask, g.astype(dtype), jnp.zeros((), dtype))
@@ -281,12 +332,24 @@ def nb_qspa_machine(code: Code, q: int, dtype=jnp.float32,
         for s in range(code.dv_max - 1, 0, -1):
             suf.append(suf[-1] + logg[:, s])
         suf.reverse()
-        excl = jnp.stack(
-            [log_pri + pre[s] + suf[s] for s in range(code.dv_max)], axis=1
-        )
-        # max-normalize (exp ≤ 1 at the CN) — no divide, see cn_update
-        excl = excl - jnp.max(excl, axis=2, keepdims=True)
-        v2c = excl.astype(sdtype).reshape(code.n * code.dv_max, q, b)
+        if q <= _FUSED_QMAX:
+            outs = []
+            for s in range(code.dv_max):
+                excl = log_pri + pre[s] + suf[s]
+                # max-normalize (exp ≤ 1 at the CN) — no divide, see
+                # cn_update
+                excl = excl - jnp.max(excl, axis=1, keepdims=True)
+                outs.append(excl.astype(sdtype))
+            v2c = jnp.stack(outs, axis=1).reshape(
+                code.n * code.dv_max, q, b
+            )
+        else:
+            excl = jnp.stack(
+                [log_pri + pre[s] + suf[s] for s in range(code.dv_max)],
+                axis=1,
+            )
+            excl = excl - jnp.max(excl, axis=2, keepdims=True)
+            v2c = excl.astype(sdtype).reshape(code.n * code.dv_max, q, b)
         log_post = log_pri + jnp.sum(logg, axis=1)
         return v2c, log_post
 
