@@ -19,9 +19,12 @@ from .base import DecodeResult, run_flooding_soft, sgn_pos, storage_cast
 from .bp import MAXLLR, pair_excl_logmags
 from .minsum_qc import (
     _swap_scan_views,
+    _v2c_slot,
     _unswap_outputs,
     _vn_fold,
+    qc_block_uniform,
     qc_check_satisfied,
+    qc_ragged_init,
     qc_slot_plan,
 )
 
@@ -29,26 +32,28 @@ __all__ = ["decode_bp_qc", "qc_bp_step"]
 
 
 def qc_cn_bp_slots(qc: QCCode, v2c):
-    """Sum-product CN update on [Nb, dv_max, z, B] v2c, returning c2v slot
-    EXPRESSIONS in VN layout (``slots[bj][s]`` = [z, B]), never stacked —
-    the VN update consumes them fused (see minsum_qc.qc_cn_minsum_slots
-    for the rationale).  Arithmetic runs in (at least) float32 regardless
-    of the message storage dtype.  Generalized structures (multi-edge
-    pairs, minus edges) follow the qc_slot_plan masks: absent edges read
-    +inf, whose u = e^-|m| is exactly 0 and sign +1 — the pair fold's
-    neutral element (bp.pair_excl_logmags)."""
+    """Sum-product CN update on the ragged per-block v2c (tuple of
+    ``[deg_j, z, B]`` planes; the stacked array also works), returning
+    c2v slot EXPRESSIONS in VN layout (``slots[bj][s]`` = [z, B]), never
+    stacked — the VN update consumes them fused (see
+    minsum_qc.qc_cn_minsum_slots for the rationale).  Arithmetic runs in
+    (at least) float32 regardless of the message storage dtype.
+    Generalized structures (multi-edge pairs, minus edges) follow the
+    qc_slot_plan masks: absent edges read +inf, whose u = e^-|m| is
+    exactly 0 and sign +1 — the pair fold's neutral element
+    (bp.pair_excl_logmags)."""
     z = qc.z
-    cdt = jnp.promote_types(v2c.dtype, jnp.float32)
-    b = v2c.shape[-1]
+    cdt = jnp.promote_types(v2c[0].dtype, jnp.float32)
+    b = v2c[0].shape[-1]
     cn_plan, _ = qc_slot_plan(qc)
-    inf = jnp.asarray(jnp.inf, v2c.dtype)
+    inf = jnp.asarray(jnp.inf, v2c[0].dtype)
 
     c2v_slots = [[None] * len(qc.vn_blocks[bj]) for bj in range(qc.nb)]
     for bi in range(qc.mb):
         entries = cn_plan[bi]
         phys = []
         for e in entries:
-            msg = jnp.roll(v2c[e.bj, e.vslot], -e.shift, axis=0)
+            msg = jnp.roll(_v2c_slot(v2c, e.bj, e.vslot), -e.shift, axis=0)
             if e.cn_mask is not None:
                 msg = jnp.where(jnp.asarray(e.cn_mask)[:, None], inf, msg)
             phys.append(msg.astype(cdt))
@@ -79,13 +84,13 @@ def qc_bp_step(qc: QCCode, max_llr: float = MAXLLR, storage_dtype=None):
     inside :func:`decode_bp_qc` — factored out for drivers that replace the
     channel term mid-decode (the streaming refill harness)."""
     _, vn_plan = qc_slot_plan(qc)
-    dv_max = qc.dv_max
 
     def step(v2c, yb):
         # c2v slots stay unstacked; messages left-fold first, channel
         # term last (the generic decoder's grouping, minsum.vn_update).
+        # v2c is the ragged per-block tuple — no padded-slot writes
+        # (see minsum_qc.qc_minsum_step).
         sdt = storage_dtype if storage_dtype is not None else yb.dtype
-        zero = jnp.zeros(yb.shape[1:], sdt)
         slots = qc_cn_bp_slots(qc, v2c)
         totals = []
         planes = []
@@ -96,9 +101,10 @@ def qc_bp_step(qc: QCCode, max_llr: float = MAXLLR, storage_dtype=None):
                 storage_cast(jnp.clip(total - sa, -max_llr, max_llr), sdt)
                 for sa in slots[bj]
             ]
-            pl += [zero] * (dv_max - len(pl))
             planes.append(jnp.stack(pl))
-        return jnp.stack(planes), jnp.stack(totals)
+        if qc_block_uniform(qc):
+            return jnp.stack(planes), jnp.stack(totals)
+        return tuple(planes), jnp.stack(totals)
 
     return step
 
@@ -129,11 +135,8 @@ def decode_bp_qc(
     n, b = llr_t.shape
     assert n == qc.n
     yb = llr_t.reshape(qc.nb, qc.z, b)
-    dv_max = qc.dv_max
     sdt = storage_dtype if storage_dtype is not None else llr_t.dtype
-    v2c0 = jnp.broadcast_to(yb[:, None], (qc.nb, dv_max, qc.z, b)).astype(
-        sdt
-    )
+    v2c0 = qc_ragged_init(qc, yb, sdt)
     step_y = qc_bp_step(qc, max_llr, storage_dtype)
 
     d, iters, done = run_flooding_soft(

@@ -8,9 +8,15 @@ copies, so the decoder contains no dynamic gathers at all — on TPU v5e this
 moves min-sum from gather-bound (~0.84 ms per iteration at B=8192 on the
 (1008,504) code) to VPU-bound.
 
-Message layout: ``v2c[Nb, dv_max, z, B]`` — base-column planes of z×B
-circulant rows, batch in lanes.  Invalid (irregular) slots hold zeros and
-are statically skipped.  Plain QC blocks are all-or-nothing (no per-row
+Message layout (``qc_ragged_init``): base-column planes of z×B circulant
+rows, batch in lanes — the stacked ``[Nb, dv_max, z, B]`` array for
+block-uniform codes, and a RAGGED tuple of ``[deg_j, z, B]`` arrays for
+irregular ones.  The split is measured (round 4): dv_max-padded planes
+cost real write traffic on irregular codes (2.3× padding on the DVB-S2
+QC structure → +40% flooding throughput ragged; 3× on 802.11n, dv
+profile {2,3,4,11} → +19%), while on regular codes the single stacked
+array lowers better than Nb small leaves (the ragged carry measured
+−17% on the flagship).  Plain QC blocks are all-or-nothing (no per-row
 masking); the generalized structures of real standards — multi-edge block
 pairs and single absent edges (DVB-S2 rate-1/2 under the q-row
 interleave, :mod:`..codes.standards`) — are handled with static per-row
@@ -30,7 +36,9 @@ from ..codes.qc import QCCode
 from .base import DecodeResult, run_flooding_soft, sgn_pos, storage_cast
 
 __all__ = ["decode_minsum_qc", "qc_check_satisfied", "qc_cn_minsum",
-           "qc_cn_minsum_slots", "qc_minsum_step", "qc_slot_plan"]
+           "qc_block_uniform", "qc_cn_minsum_slots", "qc_minsum_step",
+           "qc_ragged_init",
+           "qc_slot_plan"]
 
 
 class _CNEntry:
@@ -213,6 +221,16 @@ def _vn_fold(entries, accs, init=None):
     return acc
 
 
+def _v2c_slot(v2c, bj, s):
+    """Read one [z, B] message plane from either carry layout.  The
+    stacked array uses single-step indexing ``v2c[bj, s]`` — the chained
+    ``v2c[bj][s]`` form materializes the intermediate [dv_max, z, B]
+    slice and measured −23% on the flagship."""
+    if isinstance(v2c, (tuple, list)):
+        return v2c[bj][s]
+    return v2c[bj, s]
+
+
 def qc_cn_minsum_slots(qc: QCCode, v2c, variant="plain", alpha=1.0,
                        delta=0.0, int_scan=False):
     """CN update + variant post-op, returning c2v slot EXPRESSIONS in VN
@@ -234,10 +252,15 @@ def qc_cn_minsum_slots(qc: QCCode, v2c, variant="plain", alpha=1.0,
     same selects/compares as the float scan bit for bit, candidate for
     cheaper VPU issue (see :func:`_cn_scan_int`).  Plain variant only;
     requires -0.0-free inputs (``storage_cast`` canonicalizes).
+
+    ``v2c`` may be the stacked ``[Nb, dv_max, z, B]`` array or the
+    RAGGED tuple of per-block ``[deg_j, z, B]`` planes (round 4: the
+    production carry — padded planes cost real write traffic on
+    irregular codes, 2.3–3.3× on DVB-S2/802.11n).
     """
     z = qc.z
-    dtype = v2c.dtype
-    b = v2c.shape[-1]
+    dtype = v2c[0].dtype
+    b = v2c[0].shape[-1]
     cn_plan, _ = qc_slot_plan(qc)
     inf = jnp.asarray(jnp.inf, dtype)
     if int_scan and variant != "plain":
@@ -252,7 +275,7 @@ def qc_cn_minsum_slots(qc: QCCode, v2c, variant="plain", alpha=1.0,
         # (minus) edges read the scan-neutral +inf
         phys = []
         for e in entries:
-            msg = jnp.roll(v2c[e.bj, e.vslot], -e.shift, axis=0)
+            msg = jnp.roll(_v2c_slot(v2c, e.bj, e.vslot), -e.shift, axis=0)
             if e.cn_mask is not None:
                 msg = jnp.where(jnp.asarray(e.cn_mask)[:, None], inf, msg)
             phys.append(msg)
@@ -402,10 +425,12 @@ def qc_minsum_step(
         per-block total (messages left-folded, channel term added last —
         the generic decoder's exact grouping, see minsum.vn_update) and
         by the extrinsic subtraction, which XLA CSEs into one fused
-        computation with no materialized [Nb, dv_max, z, B] c2v buffer.
+        computation with no materialized c2v buffer.  v2c is the RAGGED
+        tuple of per-block [deg_j, z, B] planes — no dv_max zero-padding
+        slots are ever written (they cost real traffic on irregular
+        codes: 2.3× on DVB-S2 QC, 3× on 802.11n).
         """
         sdt = storage_dtype if storage_dtype is not None else yb.dtype
-        zero = jnp.zeros(yb.shape[1:], sdt)
         slots = qc_cn_minsum_slots(
             qc, v2c, variant, alpha, delta, int_scan=int_scan
         )
@@ -423,11 +448,40 @@ def qc_minsum_step(
                 else storage_cast(total - sa, sdt)
                 for sa in accs
             ]
-            pl += [zero] * (dv_max - len(pl))
             planes.append(jnp.stack(pl))
-        return jnp.stack(planes), jnp.stack(totals)
+        if qc_block_uniform(qc):
+            return jnp.stack(planes), jnp.stack(totals)
+        return tuple(planes), jnp.stack(totals)
 
     return step
+
+
+def qc_block_uniform(qc: QCCode) -> bool:
+    """True when every VN block has exactly dv_max slots (regular
+    profiles) — the stacked [Nb, dv_max, z, B] carry then has zero
+    padding AND lowers measurably better than a tuple of per-block
+    leaves (one fused plane op vs Nb small ones: the ragged carry cost
+    the regular flagship 17% while winning 19–40% on irregular codes)."""
+    return all(
+        len(qc.vn_blocks[bj]) == qc.dv_max for bj in range(qc.nb)
+    )
+
+
+def qc_ragged_init(qc: QCCode, yb, sdt):
+    """Initial v2c, every slot starting at the channel sample
+    (initializeSymMessages, ``decodeMinSum.cpp:364-370``): the stacked
+    ``[Nb, dv_max, z, B]`` array for block-uniform codes, else the
+    ragged tuple of ``[deg_j, z, B]`` planes (no padding writes)."""
+    if qc_block_uniform(qc):
+        return jnp.broadcast_to(
+            yb[:, None], (qc.nb, qc.dv_max) + yb.shape[1:]
+        ).astype(sdt)
+    return tuple(
+        jnp.broadcast_to(
+            yb[bj][None], (len(qc.vn_blocks[bj]),) + yb.shape[1:]
+        ).astype(sdt)
+        for bj in range(qc.nb)
+    )
 
 
 @functools.partial(
@@ -465,13 +519,14 @@ def decode_minsum_qc(
     n, b = y_t.shape
     assert n == qc.n, (n, qc.n)
     yb = y_t.reshape(qc.nb, qc.z, b)
-    dv_max = qc.dv_max
     sdt = storage_dtype if storage_dtype is not None else y_t.dtype
 
     # initializeSymMessages: all slots start at the channel sample
-    v2c0 = jnp.broadcast_to(yb[:, None], (qc.nb, dv_max, qc.z, b)).astype(sdt)
+    # (ragged per-block planes — no dv_max padding writes)
+    v2c0 = qc_ragged_init(qc, yb, sdt)
     if int_scan:
-        v2c0 = v2c0 + jnp.zeros((), sdt)  # canonicalize −0.0 (see step)
+        # canonicalize −0.0 (see step)
+        v2c0 = jax.tree.map(lambda p: p + jnp.zeros((), sdt), v2c0)
     step_y = qc_minsum_step(qc, variant, alpha, delta, storage_dtype,
                             int_scan=int_scan)
 

@@ -127,13 +127,14 @@ def minsum_qc_stream(
         qc_minsum_step,
     )
 
+    from ..decoders.minsum_qc import qc_ragged_init
+
     def prep(rows):
         return rows.T.reshape(qc.nb, qc.z, -1)
 
     def init(ych):
         sdt = storage_dtype if storage_dtype is not None else ych.dtype
-        shape = (qc.nb, qc.dv_max) + ych.shape[1:]
-        return jnp.broadcast_to(ych[:, None], shape).astype(sdt)
+        return qc_ragged_init(qc, ych, sdt)
 
     return StreamDecoder(
         prep=prep,
@@ -159,13 +160,14 @@ def bp_qc_stream(
 
     ml = MAXLLR if max_llr is None else max_llr
 
+    from ..decoders.minsum_qc import qc_ragged_init
+
     def prep(rows):
         return jnp.clip(rows.T, -ml, ml).reshape(qc.nb, qc.z, -1)
 
     def init(ych):
         sdt = storage_dtype if storage_dtype is not None else ych.dtype
-        shape = (qc.nb, qc.dv_max) + ych.shape[1:]
-        return jnp.broadcast_to(ych[:, None], shape).astype(sdt)
+        return qc_ragged_init(qc, ych, sdt)
 
     return StreamDecoder(
         prep=prep,
