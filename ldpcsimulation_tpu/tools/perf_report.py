@@ -354,16 +354,24 @@ def main(argv: Optional[List[str]] = None) -> int:
             base += int(a["consumed"])
             if i > 0:  # first call = compile + lane warmup
                 samples.append(
-                    (dtc, int(a["frames"]),
-                     int(a["iter_sum"]) / max(int(a["frames"]), 1))
+                    (dtc, int(a["frames"]), int(a["iter_sum"]))
                 )
-        dtm, fr, avg_it = sorted(samples)[len(samples) // 2]
+        # POOLED estimator (round 4): frames whose decode spans several
+        # calls make per-call retirement counts swing (±20-50% on the
+        # long-T rows) — a per-call median systematically under-reports.
+        # Total retired / total wall over the measured calls is what a
+        # user experiences in steady state.
+        dtm = sum(s[0] for s in samples) / len(samples)
+        fr = sum(s[1] for s in samples) / len(samples)
+        avg_it = sum(s[2] for s in samples) / max(
+            sum(s[1] for s in samples), 1
+        )
         bits = fr * k_info / dtm
         gbps = (
             fr * avg_it * bytes_per_frame_iter / dtm
             if bytes_per_frame_iter else None
         )
-        rows.append((label, T_, fr, dtm, bits, gbps, False))
+        rows.append((label, T_, int(fr), dtm, bits, gbps, False))
         print(
             f"{label}: {dtm*1e3:.0f} ms, {bits/1e6:.1f} Mb/s "
             f"(avg {avg_it:.1f} it/frame)",
@@ -504,13 +512,17 @@ def main(argv: Optional[List[str]] = None) -> int:
             base += int(a["consumed"])
             if i > 0:  # first call = compile + lane warmup
                 samples.append(
-                    (dtc, int(a["frames"]),
-                     int(a["iter_sum"]) / max(int(a["frames"]), 1))
+                    (dtc, int(a["frames"]), int(a["iter_sum"]))
                 )
-        dtm, fr, avg_it = sorted(samples)[len(samples) // 2]
+        # pooled estimator — see record_stream (long-T frames span calls)
+        dtm = sum(s[0] for s in samples) / len(samples)
+        fr = sum(s[1] for s in samples) / len(samples)
+        avg_it = sum(s[2] for s in samples) / max(
+            sum(s[1] for s in samples), 1
+        )
         bits = fr * k_info / dtm
         gbps = fr * avg_it * flip_bytes(e_edges, code_.n, m_rows) / dtm
-        rows.append((label, cfg_.num_iterations, fr, dtm, bits, gbps,
+        rows.append((label, cfg_.num_iterations, int(fr), dtm, bits, gbps,
                      False))
         print(
             f"{label}: {dtm*1e3:.0f} ms, {bits/1e6:.1f} Mb/s "
@@ -803,13 +815,17 @@ def main(argv: Optional[List[str]] = None) -> int:
             base += int(a["consumed"])
             if i > 0:  # first call = compile + lane warmup
                 samples.append(
-                    (dtc, int(a["frames"]),
-                     int(a["iter_sum"]) / max(int(a["frames"]), 1))
+                    (dtc, int(a["frames"]), int(a["iter_sum"]))
                 )
-        dtm, fr, avg_it = sorted(samples)[len(samples) // 2]
+        # pooled estimator — see record_stream
+        dtm = sum(s[0] for s in samples) / len(samples)
+        fr = sum(s[1] for s in samples) / len(samples)
+        avg_it = sum(s[2] for s in samples) / max(
+            sum(s[1] for s in samples), 1
+        )
         bits = fr * k_info / dtm
         gbps = fr * avg_it * nb_bytes / dtm
-        rows.append((label, T_, fr, dtm, bits, gbps, False))
+        rows.append((label, T_, int(fr), dtm, bits, gbps, False))
         print(
             f"{label}: {dtm*1e3:.0f} ms, {bits/1e6:.1f} Mb/s "
             f"(avg {avg_it:.1f} it/frame)",
