@@ -305,6 +305,8 @@ def make_stream_call(
     record: bool = False,
     rec_cap: int = 0,
     max_weight: Optional[int] = None,
+    mesh=None,
+    data_axis: str = "data",
 ):
     """Build the jitted persistent-state call.
 
@@ -322,6 +324,18 @@ def make_stream_call(
     scattered into ``rec`` arrays in retire order (first ``acc['rc']``
     entries valid, capacity ``rec_cap``; the extra trailing slot absorbs
     masked writes) — the hook the per-frame equality tests use.
+
+    With ``mesh``, the call runs under ``jax.shard_map`` over the mesh's
+    ``data_axis``: lanes and the pool shard across devices (batch is the
+    LAST axis of every state leaf, pool rows the first), each device
+    consumes its own gid window ``base + axis_index·F_local + k`` (frame
+    channels stay pure functions of (seed, gid) — replayable), and the
+    counters/histograms psum into replicated outputs.  This is the
+    streaming replacement for the reference's per-process fan-out
+    (SURVEY §2.6): one program, N devices, collectives over ICI.  In
+    record mode rec leaves concatenate per device with a ``rc_local``
+    leaf giving each device's valid count.  Drain semantics are per
+    device (``ptr0`` = the LOCAL pool length).
 
     Counter width: int32 — safe while frames-per-call × n < 2**31 (a pool
     would not fit in HBM long before that bound matters).
@@ -415,15 +429,21 @@ def make_stream_call(
             done=st["done"] | dec.satisfied(d),
         )
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def call(state, pool, pool_unc, pool_sat0, base, ptr0=0):
+    def _impl(state, pool, pool_unc, pool_sat0, base, ptr0):
         # ptr0 pre-consumes the pool: ptr0 == pool size makes this a DRAIN
         # call (no refills; in-flight lanes retire into the counters then
         # idle).  Draining before reading final statistics removes the
         # drop bias of in-flight frames — they are enriched in slow/
         # failing frames, so discarding them skews FER low (measured ~9%
         # at GDBF T=100 geometries before the fix).
-        ptr0 = jnp.asarray(ptr0, jnp.int32)
+        from ..decoders.base import vma_like
+
+        ref = state["iters"]
+        ptr0 = vma_like(jnp.asarray(ptr0, jnp.int32), ref)
+        # init carries derived from constants are vma-typed off a state
+        # leaf (see decoders.base.vma_like): under shard_map the body's
+        # masked updates make them data-varying, and while_loop requires
+        # matching in/out types
         acc = dict(
             frames=jnp.int32(0),
             bit_errs=jnp.int32(0),
@@ -436,6 +456,7 @@ def make_stream_call(
         )
         if dec.errs2_of is not None:
             acc["errs2"] = jnp.int32(0)
+        acc = jax.tree.map(lambda x: vma_like(x, ref), acc)
         rec = (
             dict(
                 gid=jnp.full((rec_cap + 1,), -1, jnp.int32),
@@ -445,6 +466,7 @@ def make_stream_call(
             if record
             else None
         )
+        rec = jax.tree.map(lambda x: vma_like(x, ref), rec)
 
         def round_cond(carry):
             r, st, *_ = carry
@@ -464,10 +486,80 @@ def make_stream_call(
         _r, st, ptr, acc, rec, rc = jax.lax.while_loop(
             round_cond,
             round_body,
-            (jnp.int32(0), state, ptr0, acc, rec, jnp.int32(0)),
+            (
+                jnp.int32(0), state, ptr0, acc, rec,
+                vma_like(jnp.int32(0), ref),
+            ),
         )
         acc = dict(acc, consumed=ptr - ptr0, rc=rc)
         return st, acc, rec
+
+    if mesh is None:
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def call(state, pool, pool_unc, pool_sat0, base, ptr0=0):
+            return _impl(state, pool, pool_unc, pool_sat0, base, ptr0)
+
+        return call
+
+    return _shard_call(
+        _impl, mesh, data_axis, record, ("gid", "iters", "errs")
+    )
+
+
+def _shard_call(impl, mesh, data_axis, record, rec_fields):
+    """Wrap a stream ``_impl`` in shard_map over the mesh's data axis.
+
+    Lane state shards on its (last) batch axis, the pool on its (first)
+    row axis; each device offsets its gid space by ``axis_index ×
+    local_pool_len`` so frame ids never collide and stay pure functions
+    of the index; counters psum into replicated outputs.  The jitted
+    shard_map is cached per state tree-structure (specs depend on leaf
+    ranks).  Extra positional args after ptr0 (the GDBF call's
+    noise_root/sigma/cfg) are passed through replicated.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    def sharded(state, pool, pool_unc, pool_sat0, base, ptr0, *extra):
+        di = jax.lax.axis_index(data_axis)
+        local_base = base + di * pool.shape[0]
+        st, acc, rec = impl(
+            state, pool, pool_unc, pool_sat0, local_base, ptr0, *extra
+        )
+        if record:
+            rec = dict(rec, rc_local=acc["rc"][None])
+        acc = jax.tree.map(lambda v: jax.lax.psum(v, data_axis), acc)
+        return st, acc, rec
+
+    cache = {}
+
+    def call(state, pool, pool_unc, pool_sat0, base, ptr0=0, *extra):
+        sspec = jax.tree.map(
+            lambda x: P(*([None] * (x.ndim - 1) + [data_axis])), state
+        )
+        key = (
+            jax.tree.structure(sspec),
+            jax.tree.structure(tuple(extra)),
+        )
+        if key not in cache:
+            espec = jax.tree.map(lambda _x: P(), tuple(extra))
+            in_specs = (
+                sspec, P(data_axis), P(data_axis), P(data_axis), P(),
+                P(), *espec,
+            )
+            rec_spec = (
+                {f: P(data_axis) for f in rec_fields + ("rc_local",)}
+                if record else None
+            )
+            f = jax.shard_map(
+                sharded, mesh=mesh, in_specs=in_specs,
+                out_specs=(sspec, P(), rec_spec),
+            )
+            cache[key] = jax.jit(f, donate_argnums=(0,))
+        return cache[key](
+            state, pool, pool_unc, pool_sat0,
+            jnp.asarray(base, jnp.int32), jnp.asarray(ptr0, jnp.int32),
+            *extra,
+        )
 
     return call
 
@@ -536,6 +628,8 @@ def simulate_stream(
     pool_dtype=None,
     verbose: bool = False,
     max_calls: int = 100000,
+    mesh=None,
+    data_axis: str = "data",
 ) -> MCStats:
     """Monte-Carlo loop over the streaming driver (all-zero codewords).
 
@@ -552,6 +646,16 @@ def simulate_stream(
     (lanes × iterations / avg_iters_hint) + one lane width of slack;
     undersized pools just idle lanes at the call tail (correct, slower),
     oversized pools waste generation.
+
+    ``mesh``: run the stream sharded over the mesh's ``data_axis``
+    (``lanes`` and ``pool_frames`` are GLOBAL and must divide by the
+    axis size).  Each device streams its own lanes against its own gid
+    window of the pool; the per-call window advances by the full pool
+    width, so a device's unconsumed gids are SKIPPED rather than reused
+    — harmless (the skipped set depends only on aggregate consumption
+    counts, never on an unexamined frame's own realization) and every
+    counted frame remains replayable from (seed, gid).  Counters arrive
+    psum-reduced; the stop rule sees global totals.
     """
     from ..channel.awgn import snr_to_sigma
 
@@ -559,21 +663,53 @@ def simulate_stream(
     sigma = float(snr_to_sigma(snr_db, rate))
     root = jax.random.key(seed)
     iters_per_call = rounds_per_call * refill_every
+    _default_pool = pool_frames is None
     if pool_frames is None:
         pool_frames = lanes + int(
             lanes * iters_per_call / max(avg_iters_hint, 1.0)
         )
+    nd = 1
+    if mesh is not None:
+        nd = mesh.shape[data_axis]
+        if _default_pool:
+            pool_frames = -(-pool_frames // nd) * nd  # round up to nd
+        if lanes % nd or pool_frames % nd:
+            raise ValueError(
+                f"lanes ({lanes}) and pool_frames ({pool_frames}) must "
+                f"divide the {data_axis!r} axis size {nd}"
+            )
 
     state = stream_init(dec, lanes, code_n, pool_dtype or dtype)
     call = make_stream_call(
-        dec, code_n, num_iterations, rounds_per_call, refill_every
+        dec, code_n, num_iterations, rounds_per_call, refill_every,
+        mesh=mesh, data_axis=data_axis,
     )
-    @jax.jit
-    def pool_fn(base_):
+
+    def _pool_impl(base_):
         # dec holds plain functions (not a pytree) — close over it
         return build_channel_pool(
             dec, root, base_, pool_frames, code_n, sigma, preprocess,
             dtype, pool_dtype,
+        )
+
+    if mesh is None:
+        pool_fn = jax.jit(_pool_impl)
+    else:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        shard_rows = NamedSharding(mesh, P(data_axis))
+        pool_fn = jax.jit(
+            _pool_impl,
+            out_shardings=(shard_rows, shard_rows, shard_rows),
+        )
+        state = jax.device_put(
+            state,
+            jax.tree.map(
+                lambda x: NamedSharding(
+                    mesh, P(*([None] * (x.ndim - 1) + [data_axis]))
+                ),
+                state,
+            ),
         )
 
     stats = MCStats(n=code_n)
@@ -602,7 +738,10 @@ def simulate_stream(
         state, acc, _rec = call(state, pool, unc, sat0, jnp.int32(base))
         a = jax.device_get(acc)
         take(a)
-        base += int(a["consumed"])
+        # sharded: the window advances by the full pool (per-device gid
+        # ranges must not collide; unconsumed gids are skipped, see the
+        # docstring).  Single device: reuse unconsumed rows.
+        base += pool_frames if mesh is not None else int(a["consumed"])
         if verbose:
             print(stats.incremental_report())
     # drain: retire the in-flight lanes so every injected frame is counted
@@ -610,12 +749,14 @@ def simulate_stream(
     # (a frame occupies a lane in proportion to its decode time), so
     # dropping them biases FER low; draining restores the counted set to
     # an outcome-independent prefix of the (seed, index) frame sequence.
-    # Same compiled call with the pool pre-exhausted (ptr0 = pool size).
+    # Same compiled call with the pool pre-exhausted (ptr0 = the LOCAL
+    # pool length; Python int keeps the weak-typed signature of the
+    # default 0 — no drain recompile).
     if pool is not None:
         for _di in range(2 + num_iterations // max(iters_per_call, 1)):
             state, acc, _rec = call(
                 state, pool, unc, sat0, jnp.int32(base),
-                int(pool.shape[0]),  # Python int: same weak-typed signature as the default 0 (no drain recompile)
+                pool_frames // nd,
             )
             a = jax.device_get(acc)
             if int(a["frames"]) == 0:

@@ -159,6 +159,8 @@ def make_gdbf_stream_call(
     dense: Optional[DenseGraph] = None,
     record: bool = False,
     rec_cap: int = 0,
+    mesh=None,
+    data_axis: str = "data",
 ):
     """Build the jitted persistent-state call for the GDBF family.
 
@@ -178,6 +180,10 @@ def make_gdbf_stream_call(
     extras: ``smooth_sum`` (reference ``smoothingUsed``) and
     ``phase_hist`` [max_phases+1] (RNGDBF.cpp:434-437; attempted phases
     per retired frame).
+
+    ``mesh``: shard lanes/pool over the mesh's ``data_axis`` exactly as
+    :func:`.stream.make_stream_call` does — per-device gid windows keep
+    the per-(frame, step) noise keying globally unique and replayable.
     """
     if qc is not None and (qc.n != code.n or qc.m != code.m):
         raise ValueError("qc structure does not match code dimensions")
@@ -436,12 +442,14 @@ def make_gdbf_stream_call(
         ptr = ptr + jnp.sum(can, dtype=jnp.int32)
         return st_new, ptr, acc, rec, rc
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def call(state, pool, pool_unc, pool_sat0, base, noise_root, sigma,
-             cfg, ptr0=0):
+    def _impl(state, pool, pool_unc, pool_sat0, base, ptr0, noise_root,
+              sigma, cfg):
         # ptr0 == pool size makes this a DRAIN call (no refills; in-flight
         # lanes retire then idle) — see stream.py's drop-bias note
-        ptr0 = jnp.asarray(ptr0, jnp.int32)
+        from ..decoders.base import vma_like
+
+        ref = state["its"]
+        ptr0 = vma_like(jnp.asarray(ptr0, jnp.int32), ref)
         C = derived(sigma, cfg)
         total_steps = C[2]
         acc = dict(
@@ -456,6 +464,7 @@ def make_gdbf_stream_call(
             weight_hist=jnp.zeros((n + 1,), jnp.int32),
             phase_hist=jnp.zeros((cfg.max_phases + 1,), jnp.int32),
         )
+        acc = jax.tree.map(lambda x: vma_like(x, ref), acc)
         rec = (
             dict(
                 gid=jnp.full((rec_cap + 1,), -1, jnp.int32),
@@ -467,6 +476,7 @@ def make_gdbf_stream_call(
             if record
             else None
         )
+        rec = jax.tree.map(lambda x: vma_like(x, ref), rec)
 
         def round_cond(carry):
             r, st, *_ = carry
@@ -487,10 +497,34 @@ def make_gdbf_stream_call(
         _r, st, ptr, acc, rec, rc = jax.lax.while_loop(
             round_cond,
             round_body,
-            (jnp.int32(0), state, ptr0, acc, rec, jnp.int32(0)),
+            (
+                jnp.int32(0), state, ptr0, acc, rec,
+                vma_like(jnp.int32(0), ref),
+            ),
         )
         acc = dict(acc, consumed=ptr - ptr0, rc=rc)
         return st, acc, rec
+
+    if mesh is None:
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def call(state, pool, pool_unc, pool_sat0, base, noise_root,
+                 sigma, cfg, ptr0=0):
+            return _impl(state, pool, pool_unc, pool_sat0, base, ptr0,
+                         noise_root, sigma, cfg)
+
+        return call
+
+    from .stream import _shard_call
+
+    inner = _shard_call(
+        _impl, mesh, data_axis, record,
+        ("gid", "iters", "errs", "phases", "sat"),
+    )
+
+    def call(state, pool, pool_unc, pool_sat0, base, noise_root, sigma,
+             cfg, ptr0=0):
+        return inner(state, pool, pool_unc, pool_sat0, base, ptr0,
+                     noise_root, sigma, cfg)
 
     return call
 
@@ -503,14 +537,17 @@ def make_gdbf_stream_call(
 _CALL_CACHE: dict = {}
 
 
-def _cached_call(code, rounds, refill_every, qc, dense):
-    key = (id(code), rounds, refill_every, id(qc), id(dense))
+def _cached_call(code, rounds, refill_every, qc, dense, mesh=None,
+                 data_axis="data"):
+    key = (id(code), rounds, refill_every, id(qc), id(dense), id(mesh),
+           data_axis)
     if key not in _CALL_CACHE:
         _CALL_CACHE[key] = (
             make_gdbf_stream_call(
-                code, rounds, refill_every, qc=qc, dense=dense
+                code, rounds, refill_every, qc=qc, dense=dense,
+                mesh=mesh, data_axis=data_axis,
             ),
-            (code, qc, dense),
+            (code, qc, dense, mesh),
         )
     return _CALL_CACHE[key][0]
 
@@ -581,6 +618,8 @@ def simulate_stream_gdbf(
     dense: Optional[DenseGraph] = None,
     verbose: bool = False,
     max_calls: int = 100000,
+    mesh=None,
+    data_axis: str = "data",
 ) -> MCStats:
     """Monte-Carlo loop for a GDBF config over the streaming driver.
 
@@ -590,6 +629,11 @@ def simulate_stream_gdbf(
     early-termination straggler tax.  Channel and decoder noise use
     independent root keys split from ``seed`` (the batched harness's
     kch/kdec split at harness level).
+
+    ``mesh``: shard lanes/pool over the mesh's ``data_axis`` — the
+    streaming replacement for the reference's per-process NGDBF sweep
+    fan-out (see :func:`.stream.simulate_stream` for the window/gid
+    semantics).
     """
     from ..channel.awgn import snr_to_sigma
 
@@ -599,22 +643,55 @@ def simulate_stream_gdbf(
     root = jax.random.key(seed)
     kch, kdec = jax.random.split(root)
     iters_per_call = rounds_per_call * refill_every
+    _default_pool = pool_frames is None
     if pool_frames is None:
         pool_frames = lanes + int(
             lanes * iters_per_call / max(avg_iters_hint, 1.0)
         )
     total_steps = cfg.max_phases * cfg.num_iterations
+    nd = 1
+    if mesh is not None:
+        nd = mesh.shape[data_axis]
+        if _default_pool:
+            pool_frames = -(-pool_frames // nd) * nd  # round up to nd
+        if lanes % nd or pool_frames % nd:
+            raise ValueError(
+                f"lanes ({lanes}) and pool_frames ({pool_frames}) must "
+                f"divide the {data_axis!r} axis size {nd}"
+            )
 
     state = gdbf_stream_init(
         code, cfg, lanes, pool_dtype or jnp.float32
     )
-    call = _cached_call(code, rounds_per_call, refill_every, qc, dense)
+    call = _cached_call(
+        code, rounds_per_call, refill_every, qc, dense,
+        mesh=mesh, data_axis=data_axis,
+    )
 
-    @jax.jit
-    def pool_fn(base_):
+    def _pool_impl(base_):
         return build_channel_pool_gdbf(
             code, kch, base_, pool_frames, sigma, preprocess, pool_dtype,
             qc=qc, dense=dense,
+        )
+
+    if mesh is None:
+        pool_fn = jax.jit(_pool_impl)
+    else:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        shard_rows = NamedSharding(mesh, P(data_axis))
+        pool_fn = jax.jit(
+            _pool_impl,
+            out_shardings=(shard_rows, shard_rows, shard_rows),
+        )
+        state = jax.device_put(
+            state,
+            jax.tree.map(
+                lambda x: NamedSharding(
+                    mesh, P(*([None] * (x.ndim - 1) + [data_axis]))
+                ),
+                state,
+            ),
         )
 
     stats = MCStats(n=code.n)
@@ -651,7 +728,8 @@ def simulate_stream_gdbf(
         )
         a = jax.device_get(acc)
         take(a)
-        base += int(a["consumed"])
+        # sharded: full-window advance (see stream.simulate_stream)
+        base += pool_frames if mesh is not None else int(a["consumed"])
         if verbose:
             print(stats.incremental_report())
     # drain in-flight lanes (see stream.py: dropping them biases FER low —
@@ -662,8 +740,8 @@ def simulate_stream_gdbf(
             state, acc, _rec = call(
                 state, pool, unc, sat0, jnp.int32(base), kdec, sigma, cfg,
                 # Python int: same weak-typed signature as the default 0
-                # (no drain recompile)
-                int(pool.shape[0]),
+                # (no drain recompile); LOCAL pool length under a mesh
+                pool_frames // nd,
             )
             a = jax.device_get(acc)
             if int(a["frames"]) == 0:

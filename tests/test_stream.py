@@ -372,6 +372,121 @@ def test_ddbmp_qc_stream_matches_batch(refill_every):
     assert any(v[0] == 0 for v in per_frame.values())
 
 
+def _data_mesh():
+    from jax.sharding import Mesh
+
+    return Mesh(np.array(jax.devices()), ("data",))
+
+
+def test_sharded_stream_per_frame_matches_batch():
+    """Mesh-sharded stream call (8 virtual devices): every retired frame's
+    (iters, errs) equals a batch decode of its (seed, gid) channel row —
+    per-device gid windows never collide and stay replayable."""
+    mesh = _data_mesh()
+    nd = mesh.shape["data"]
+    dec = minsum_qc_stream(QC)
+    root = jax.random.key(7)
+    F, lanes, rec_cap = 256, 64, 512
+    call = make_stream_call(
+        dec, QC.n, T, 12, 1, record=True, rec_cap=rec_cap,
+        mesh=mesh, data_axis="data",
+    )
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    shard_rows = NamedSharding(mesh, P("data"))
+    state = jax.device_put(
+        stream_init(dec, lanes, QC.n),
+        jax.tree.map(
+            lambda x: NamedSharding(
+                mesh, P(*([None] * (x.ndim - 1) + ["data"]))
+            ),
+            stream_init(dec, lanes, QC.n),
+        ),
+    )
+    pool_fn = jax.jit(
+        lambda b: build_channel_pool(dec, root, b, F, QC.n, SIGMA),
+        out_shardings=(shard_rows, shard_rows, shard_rows),
+    )
+
+    per_frame = {}
+    base = 0
+    for _call_i in range(2):
+        pool, unc, sat0 = pool_fn(jnp.int32(base))
+        state, acc, rec = call(state, pool, unc, sat0, base)
+        r = jax.device_get(rec)
+        seg = rec_cap + 1
+        for d in range(nd):
+            rc_d = int(r["rc_local"][d])
+            for g, it, er in zip(
+                r["gid"][d * seg:d * seg + rc_d],
+                r["iters"][d * seg:d * seg + rc_d],
+                r["errs"][d * seg:d * seg + rc_d],
+            ):
+                assert int(g) >= 0
+                assert int(g) not in per_frame, "frame retired twice"
+                per_frame[int(g)] = (int(it), int(er))
+        base += F  # full-window advance (sharded semantics)
+    # drain
+    state, acc, rec = call(state, pool, unc, sat0, base, F // nd)
+    r = jax.device_get(rec)
+    seg = rec_cap + 1
+    for d in range(nd):
+        rc_d = int(r["rc_local"][d])
+        for g, it, er in zip(
+            r["gid"][d * seg:d * seg + rc_d],
+            r["iters"][d * seg:d * seg + rc_d],
+            r["errs"][d * seg:d * seg + rc_d],
+        ):
+            assert int(g) not in per_frame
+            per_frame[int(g)] = (int(it), int(er))
+
+    # ground truth: batch-decode the two gid windows
+    ref = {}
+    for w in range(2):
+        rows, _u, _s = build_channel_pool(dec, root, w * F, F, QC.n, SIGMA)
+        res = decode_minsum_qc(QC, rows, T, early_termination=True)
+        hard = np.asarray(res.hard)
+        for k in range(F):
+            ref[w * F + k] = (
+                int(np.asarray(res.iterations)[k]),
+                int((hard[k] != 1).sum()),
+            )
+    # window-advance semantics skip each device's unconsumed gids, so
+    # coverage is below 2F; every device must have contributed
+    assert len(per_frame) >= 250
+    for d in range(nd):
+        lo = d * (F // nd)
+        assert any(lo <= g < lo + F // nd for g in per_frame), d
+    for g, v in per_frame.items():
+        assert ref[g] == v, (g, ref[g], v)
+
+
+def test_sharded_simulate_stream_stats():
+    """simulate_stream(mesh=...): psum'd global counters are
+    self-consistent, deterministic across runs, and statistically match
+    the single-device harness."""
+    mesh = _data_mesh()
+    dec = minsum_qc_stream(QC)
+    kw = dict(
+        stop=StopRule(min_bit_errors=0, min_word_errors=0,
+                      max_frames=1500),
+        lanes=128, rounds_per_call=16, refill_every=1, seed=3,
+    )
+    st1 = simulate_stream(QC.n, dec, SNR, RATE, T, mesh=mesh, **kw)
+    st2 = simulate_stream(QC.n, dec, SNR, RATE, T, mesh=mesh, **kw)
+    assert st1.total_words == st2.total_words
+    assert st1.errors == st2.errors
+    assert st1.word_errors == st2.word_errors
+    np.testing.assert_array_equal(st1.iteration_hist, st2.iteration_hist)
+    assert st1.total_words >= 1500
+    assert st1.iteration_hist.sum() == st1.total_words
+
+    st0 = simulate_stream(QC.n, dec, SNR, RATE, T, **kw)
+    p = max(st0.ber, 1e-4)
+    tol = 5.0 * np.sqrt(p * (1 - p) / st1.total_bits) + 0.2 * p
+    assert abs(st1.ber - st0.ber) < tol, (st1.ber, st0.ber)
+
+
 def test_sweep_stream_cli(tmp_path):
     """--stream CLI route: min-sum QC and BP QC rows through the
     streaming harness, reference log-row format intact."""

@@ -343,6 +343,127 @@ def test_stream_gdbf_one_compile_across_operating_points():
     assert call._cache_size() - before == 1
 
 
+def test_sharded_gdbf_stream_matches_batch():
+    """Mesh-sharded GDBF stream (8 virtual devices): per-frame equality
+    vs the batched decoder fed the stream-keyed sequences — per-device
+    gid windows keep the per-(frame, step) noise globally unique."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    mesh = Mesh(np.array(jax.devices()), ("data",))
+    nd = mesh.shape["data"]
+    cfg = preset(
+        "SMNGDBF", num_iterations=16, theta=-0.7, noise_scale=0.9,
+        lam=0.98, alpha=0.8, window_size=10,
+    )
+    F, lanes, rec_cap = 256, 64, 512
+    call = make_gdbf_stream_call(
+        CODE, rounds=20, refill_every=1, record=True, rec_cap=rec_cap,
+        mesh=mesh,
+    )
+    state = gdbf_stream_init(CODE, cfg, lanes)
+    state = jax.device_put(
+        state,
+        jax.tree.map(
+            lambda x: NamedSharding(
+                mesh, P(*([None] * (x.ndim - 1) + ["data"]))
+            ),
+            state,
+        ),
+    )
+    shard_rows = NamedSharding(mesh, P("data"))
+    pool_fn = jax.jit(
+        lambda b: build_channel_pool_gdbf(CODE, KCH, b, F, SIGMA),
+        out_shardings=(shard_rows, shard_rows, shard_rows),
+    )
+
+    per_frame = {}
+    base = 0
+    for _ci in range(2):
+        pool, unc, sat0 = pool_fn(jnp.int32(base))
+        state, acc, rec = call(
+            state, pool, unc, sat0, base, KDEC, SIGMA, cfg
+        )
+        r = jax.device_get(rec)
+        seg = rec_cap + 1
+        for d in range(nd):
+            rc_d = int(r["rc_local"][d])
+            for g, it, er in zip(
+                r["gid"][d * seg:d * seg + rc_d],
+                r["iters"][d * seg:d * seg + rc_d],
+                r["errs"][d * seg:d * seg + rc_d],
+            ):
+                assert int(g) not in per_frame
+                per_frame[int(g)] = (int(it), int(er))
+        base += F
+    # drain
+    state, acc, rec = call(
+        state, pool, unc, sat0, base, KDEC, SIGMA, cfg, F // nd
+    )
+    r = jax.device_get(rec)
+    seg = rec_cap + 1
+    for d in range(nd):
+        rc_d = int(r["rc_local"][d])
+        for g, it, er in zip(
+            r["gid"][d * seg:d * seg + rc_d],
+            r["iters"][d * seg:d * seg + rc_d],
+            r["errs"][d * seg:d * seg + rc_d],
+        ):
+            assert int(g) not in per_frame
+            per_frame[int(g)] = (int(it), int(er))
+
+    # truth: batch decode each window with stream-keyed noise sequences
+    ref = {}
+    for w in range(2):
+        rows, _u, _s = build_channel_pool_gdbf(CODE, KCH, w * F, F, SIGMA)
+        gids = w * F + jnp.arange(F)
+        seqs = jax.vmap(
+            lambda g: frame_perturbation_sequence(KDEC, g, cfg, SIGMA, N)
+        )(gids)
+        res = decode_gdbf(
+            CODE, rows, SIGMA, cfg,
+            perturbations=jnp.moveaxis(seqs, 0, -1),
+        )
+        hard = np.asarray(res.hard)
+        for k in range(F):
+            ref[w * F + k] = (
+                int(np.asarray(res.iterations)[k]),
+                int((hard[k] != 1).sum()),
+            )
+    assert len(per_frame) >= 250  # window-advance skips unconsumed gids
+    for g, v in per_frame.items():
+        assert ref[g] == v, (g, ref[g], v)
+
+
+def test_sharded_simulate_stream_gdbf_deterministic():
+    """simulate_stream_gdbf(mesh=...): deterministic psum'd counters,
+    self-consistent, statistically matching the single-device stream."""
+    from jax.sharding import Mesh
+
+    mesh = Mesh(np.array(jax.devices()), ("data",))
+    cfg = preset(
+        "SMNGDBF", num_iterations=16, theta=-0.7, noise_scale=0.9,
+        lam=0.98, alpha=0.8, window_size=10,
+    )
+    kw = dict(
+        stop=StopRule(min_bit_errors=0, min_word_errors=0,
+                      max_frames=1200),
+        lanes=128, rounds_per_call=16, refill_every=1, seed=5, qc=QC,
+        preprocess=lambda y: saturate(y, 2.5),
+    )
+    s1 = simulate_stream_gdbf(CODE, cfg, SNR, mesh=mesh, **kw)
+    s2 = simulate_stream_gdbf(CODE, cfg, SNR, mesh=mesh, **kw)
+    assert (s1.total_words, s1.errors, s1.word_errors) == (
+        s2.total_words, s2.errors, s2.word_errors
+    )
+    assert s1.total_words >= 1200
+    assert s1.iteration_hist.sum() == s1.total_words
+    assert s1.extra["phase_hist"].sum() == s1.total_words
+    s0 = simulate_stream_gdbf(CODE, cfg, SNR, **kw)
+    p = max(s0.ber, 1e-4)
+    tol = 5.0 * np.sqrt(p * (1 - p) / s1.total_bits) + 0.25 * p
+    assert abs(s1.ber - s0.ber) < tol, (s1.ber, s0.ber)
+
+
 def test_simulate_stream_gdbf_stats_match_batched_harness():
     """End-to-end: simulate_stream_gdbf's aggregate statistics are
     consistent with the batched simulate() at the same operating point
