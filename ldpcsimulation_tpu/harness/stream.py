@@ -60,6 +60,7 @@ __all__ = [
     "stream_init",
     "make_stream_call",
     "build_channel_pool",
+    "run_drain",
     "simulate_stream",
 ]
 
@@ -564,6 +565,36 @@ def _shard_call(impl, mesh, data_axis, record, rec_fields):
     return call
 
 
+def run_drain(call, state, pool_args, base, ptr0_local, take,
+              num_steps, iters_per_call, extra=()):
+    """Drain the in-flight lanes: repeat the compiled call with the pool
+    pre-exhausted (``ptr0_local`` = local pool length) until every lane
+    is idle, folding each call's counters through ``take``.
+
+    The termination test is LANE IDLENESS, not zero retirements: a drain
+    call whose iteration budget (rounds × refill_every) is below a
+    lane's residual iterations retires nothing while work remains, so a
+    ``frames == 0`` break would silently drop exactly the slow/failing
+    frames the drain exists to count (round-4 review finding; the
+    regression test pins a T >> budget drain).  The loop bound covers
+    the worst case — every active lane progresses up to
+    ``iters_per_call`` iterations per call, so ceil(T / iters_per_call)
+    calls cap and retire everything.
+
+    Shared by simulate_stream / simulate_stream_nb /
+    simulate_stream_gdbf (``extra`` carries the GDBF call's
+    noise_root/sigma/cfg, which precede ptr0 in its signature).
+    """
+    for _ in range(2 + num_steps // max(iters_per_call, 1)):
+        if bool(jax.device_get(jnp.all(state["idle"]))):
+            break
+        state, acc, _rec = call(
+            state, *pool_args, jnp.int32(base), *extra, ptr0_local
+        )
+        take(jax.device_get(acc))
+    return state
+
+
 def build_channel_pool(
     dec: StreamDecoder,
     root,
@@ -748,20 +779,13 @@ def simulate_stream(
     # exactly once.  In-flight frames are enriched in slow/failing frames
     # (a frame occupies a lane in proportion to its decode time), so
     # dropping them biases FER low; draining restores the counted set to
-    # an outcome-independent prefix of the (seed, index) frame sequence.
-    # Same compiled call with the pool pre-exhausted (ptr0 = the LOCAL
-    # pool length; Python int keeps the weak-typed signature of the
-    # default 0 — no drain recompile).
+    # an outcome-independent prefix of the (seed, index) frame sequence
+    # (run_drain: same compiled call with the pool pre-exhausted).
     if pool is not None:
-        for _di in range(2 + num_iterations // max(iters_per_call, 1)):
-            state, acc, _rec = call(
-                state, pool, unc, sat0, jnp.int32(base),
-                pool_frames // nd,
-            )
-            a = jax.device_get(acc)
-            if int(a["frames"]) == 0:
-                break
-            take(a)
+        state = run_drain(
+            call, state, (pool, unc, sat0), base, pool_frames // nd,
+            take, num_iterations, iters_per_call,
+        )
     stats.wall_seconds = time.perf_counter() - t0
     return stats
 
@@ -930,18 +954,12 @@ def simulate_stream_nb(
                 f"stream_nb: {stats.total_words} frames, "
                 f"SER={stats.ser:.4g} BER={stats.ber:.4g}"
             )
-    # drain in-flight lanes (see simulate_stream: dropping them biases
-    # FER low — they are enriched in slow/failing frames)
+    # drain in-flight lanes (run_drain: dropping them biases FER low —
+    # they are enriched in slow/failing frames)
     if pool is not None:
-        iters_per_call = rounds_per_call * refill_every
-        for _di in range(2 + num_iterations // max(iters_per_call, 1)):
-            state, acc, _rec = call(
-                state, pool, unc, sat0, jnp.int32(base),
-                int(pool.shape[0]),  # Python int: same weak-typed signature as the default 0 (no drain recompile)
-            )
-            a = jax.device_get(acc)
-            if int(a["frames"]) == 0:
-                break
-            take(a)
+        state = run_drain(
+            call, state, (pool, unc, sat0), base, int(pool.shape[0]),
+            take, num_iterations, rounds_per_call * refill_every,
+        )
     stats.wall_seconds = time.perf_counter() - t0
     return stats

@@ -539,7 +539,15 @@ _CALL_CACHE: dict = {}
 
 def _cached_call(code, rounds, refill_every, qc, dense, mesh=None,
                  data_axis="data"):
-    key = (id(code), rounds, refill_every, id(qc), id(dense), id(mesh),
+    # meshes are keyed by their device/axis content, not identity —
+    # callers often construct a fresh (equal) Mesh per invocation
+    mkey = None
+    if mesh is not None:
+        mkey = (
+            tuple(d.id for d in mesh.devices.flat),
+            tuple(mesh.axis_names),
+        )
+    key = (id(code), rounds, refill_every, id(qc), id(dense), mkey,
            data_axis)
     if key not in _CALL_CACHE:
         _CALL_CACHE[key] = (
@@ -732,21 +740,17 @@ def simulate_stream_gdbf(
         base += pool_frames if mesh is not None else int(a["consumed"])
         if verbose:
             print(stats.incremental_report())
-    # drain in-flight lanes (see stream.py: dropping them biases FER low —
-    # they are enriched in slow/failing frames; at GDBF T=100 geometries
-    # the skew measured ~9% of FER before the fix)
+    # drain in-flight lanes (stream.run_drain: dropping them biases FER
+    # low — they are enriched in slow/failing frames; at GDBF T=100
+    # geometries the skew measured ~9% of FER before the fix)
     if pool is not None:
-        for _di in range(2 + total_steps // max(iters_per_call, 1)):
-            state, acc, _rec = call(
-                state, pool, unc, sat0, jnp.int32(base), kdec, sigma, cfg,
-                # Python int: same weak-typed signature as the default 0
-                # (no drain recompile); LOCAL pool length under a mesh
-                pool_frames // nd,
-            )
-            a = jax.device_get(acc)
-            if int(a["frames"]) == 0:
-                break
-            take(a)
+        from .stream import run_drain
+
+        state = run_drain(
+            call, state, (pool, unc, sat0), base, pool_frames // nd,
+            take, total_steps, iters_per_call,
+            extra=(kdec, sigma, cfg),
+        )
     # batched-harness format: index p-1 = frames that attempted p phases
     # (phases >= 1 always; acc slot 0 is structurally empty)
     stats.extra["phase_hist"] = phase_hist[1:]
