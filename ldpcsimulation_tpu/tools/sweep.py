@@ -572,7 +572,12 @@ def main(argv: Optional[List[str]] = None) -> int:
 
                 stats = simulate_stream_gdbf(
                     code, cfg, snr, rate=rate, stop=stop,
-                    lanes=args.batch, refill_every=2, rounds_per_call=32,
+                    lanes=args.batch,
+                    # boundary cadence: retire checks cost a syndrome +
+                    # refill pass; at the family's large caps a coarse
+                    # cadence measured best (K=8 at T=100, docs/PERF.md)
+                    refill_every=8 if T >= 64 else 2,
+                    rounds_per_call=32,
                     seed=args.seed, preprocess=pre, qc=qc, dense=dense,
                     verbose=args.verbose,
                 )
