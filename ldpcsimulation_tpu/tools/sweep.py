@@ -339,7 +339,10 @@ def main(argv: Optional[List[str]] = None) -> int:
             )
         if args.distributed or args.schedule == "layered":
             raise SystemExit(
-                "sweep: error: --stream is a single-device flooding mode"
+                "sweep: error: --stream uses the flooding schedule and "
+                "the CLI runs it on one device; --distributed is the "
+                "batched operating-point grid engine (the library API "
+                "shards a stream over a mesh: simulate_stream(mesh=...))"
             )
 
     def run_stream_point(snr, sdec, preprocess=None):
