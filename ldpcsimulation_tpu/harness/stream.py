@@ -565,6 +565,48 @@ def _shard_call(impl, mesh, data_axis, record, rec_fields):
     return call
 
 
+def _lane_spec(data_axis):
+    """Per-leaf PartitionSpec for lane state: batch is the LAST axis of
+    every leaf."""
+    from jax.sharding import PartitionSpec as P
+
+    return lambda x: P(*([None] * (x.ndim - 1) + [data_axis]))
+
+
+def mesh_setup(mesh, data_axis, lanes, pool_frames, default_pool, state):
+    """Shared mesh plumbing for the simulate drivers: validate
+    divisibility (rounding a DEFAULT-derived pool up to the axis size),
+    shard the lane state, and return (nd, pool_frames, state,
+    pool_out_shardings)."""
+    from jax.sharding import NamedSharding
+
+    nd = mesh.shape[data_axis]
+    if default_pool:
+        pool_frames = -(-pool_frames // nd) * nd  # round up to nd
+    if lanes % nd or pool_frames % nd:
+        raise ValueError(
+            f"lanes ({lanes}) and pool_frames ({pool_frames}) must be "
+            f"divisible by the {data_axis!r} axis size {nd}"
+        )
+    spec = _lane_spec(data_axis)
+    state = jax.device_put(
+        state,
+        jax.tree.map(lambda x: NamedSharding(mesh, spec(x)), state),
+    )
+    from jax.sharding import PartitionSpec as P
+
+    rows = NamedSharding(mesh, P(data_axis))
+    return nd, pool_frames, state, (rows, rows, rows)
+
+
+# gid space is int32 (the pool index dtype).  Deep campaigns exhaust it —
+# the round-4 deep-FER run alone consumed 1.7e9 of the 2.1e9 ids — so the
+# drivers ROTATE the channel root key (fold_in) and reset base before an
+# overflow: frames stay replayable from (seed, rotation, gid), and the
+# rotated stream is iid fresh by the counter-based-RNG contract.
+_GID_LIMIT = 2**31 - 1
+
+
 def run_drain(call, state, pool_args, base, ptr0_local, take,
               num_steps, iters_per_call, extra=()):
     """Drain the in-flight lanes: repeat the compiled call with the pool
@@ -699,49 +741,29 @@ def simulate_stream(
         pool_frames = lanes + int(
             lanes * iters_per_call / max(avg_iters_hint, 1.0)
         )
-    nd = 1
-    if mesh is not None:
-        nd = mesh.shape[data_axis]
-        if _default_pool:
-            pool_frames = -(-pool_frames // nd) * nd  # round up to nd
-        if lanes % nd or pool_frames % nd:
-            raise ValueError(
-                f"lanes ({lanes}) and pool_frames ({pool_frames}) must "
-                f"divide the {data_axis!r} axis size {nd}"
-            )
-
     state = stream_init(dec, lanes, code_n, pool_dtype or dtype)
+    nd = 1
+    pool_out = None
+    if mesh is not None:
+        nd, pool_frames, state, pool_out = mesh_setup(
+            mesh, data_axis, lanes, pool_frames, _default_pool, state
+        )
     call = make_stream_call(
         dec, code_n, num_iterations, rounds_per_call, refill_every,
         mesh=mesh, data_axis=data_axis,
     )
 
-    def _pool_impl(base_):
+    def _pool_impl(base_, root_):
         # dec holds plain functions (not a pytree) — close over it
         return build_channel_pool(
-            dec, root, base_, pool_frames, code_n, sigma, preprocess,
+            dec, root_, base_, pool_frames, code_n, sigma, preprocess,
             dtype, pool_dtype,
         )
 
-    if mesh is None:
-        pool_fn = jax.jit(_pool_impl)
-    else:
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
-        shard_rows = NamedSharding(mesh, P(data_axis))
-        pool_fn = jax.jit(
-            _pool_impl,
-            out_shardings=(shard_rows, shard_rows, shard_rows),
-        )
-        state = jax.device_put(
-            state,
-            jax.tree.map(
-                lambda x: NamedSharding(
-                    mesh, P(*([None] * (x.ndim - 1) + [data_axis]))
-                ),
-                state,
-            ),
-        )
+    pool_fn = jax.jit(
+        _pool_impl,
+        **({} if pool_out is None else dict(out_shardings=pool_out)),
+    )
 
     stats = MCStats(n=code_n)
     stats.iteration_hist = np.zeros(num_iterations + 1, np.int64)
@@ -762,10 +784,21 @@ def simulate_stream(
         )
 
     pool = unc = sat0 = None
+    rotation = 0
     for ci in range(max_calls):
         if stop.done(stats.errors, stats.word_errors, stats.total_words):
             break
-        pool, unc, sat0 = pool_fn(jnp.int32(base))
+        if base > _GID_LIMIT - nd * pool_frames:
+            # int32 gid space nearly exhausted (deep campaigns get here):
+            # rotate the channel root and restart the index space —
+            # frames stay replayable from (seed, rotation, gid)
+            rotation += 1
+            # fold value >= 2**31 cannot collide with any gid fold
+            root = jax.random.fold_in(
+                jax.random.key(seed), 2**31 + rotation
+            )
+            base = 0
+        pool, unc, sat0 = pool_fn(jnp.int32(base), root)
         state, acc, _rec = call(state, pool, unc, sat0, jnp.int32(base))
         a = jax.device_get(acc)
         take(a)
@@ -920,14 +953,15 @@ def simulate_stream_nb(
     )
 
     @jax.jit
-    def pool_fn(base_):
+    def pool_fn(base_, root_):
         return build_channel_pool_nb(
-            dec, root, base_, pool_frames, code.n, q, sigma, pool_dtype
+            dec, root_, base_, pool_frames, code.n, q, sigma, pool_dtype
         )
 
     stats = NBMCStats(n=code.n, q=q)
     t0 = time.perf_counter()
     base = 0
+    rotation = 0
 
     def take(a):
         stats.total_words += int(a["frames"])
@@ -944,7 +978,15 @@ def simulate_stream_nb(
         if stop.done(stats.bit_errors, stats.word_errors,
                      stats.total_words):
             break
-        pool, unc, sat0 = pool_fn(jnp.int32(base))
+        if base > _GID_LIMIT - pool_frames:
+            # rotate the gid space before int32 overflow (see simulate_stream)
+            rotation += 1
+            # fold value >= 2**31 cannot collide with any gid fold
+            root = jax.random.fold_in(
+                jax.random.key(seed), 2**31 + rotation
+            )
+            base = 0
+        pool, unc, sat0 = pool_fn(jnp.int32(base), root)
         state, acc, _rec = call(state, pool, unc, sat0, jnp.int32(base))
         a = jax.device_get(acc)
         take(a)

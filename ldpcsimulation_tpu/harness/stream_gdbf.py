@@ -60,6 +60,7 @@ from ..decoders.dense_ops import (
 )
 from ..decoders.gdbf import GDBFConfig, _syndrome_sum_per_vn, flip_decisions
 from ..decoders.qc_ops import qc_syndrome_bipolar, qc_syndrome_sum_per_vn
+from . import stream as _stream
 from .montecarlo import MCStats, StopRule, default_min_word_errors
 
 __all__ = [
@@ -545,6 +546,7 @@ def _cached_call(code, rounds, refill_every, qc, dense, mesh=None,
     if mesh is not None:
         mkey = (
             tuple(d.id for d in mesh.devices.flat),
+            tuple(mesh.devices.shape),  # factorization matters, not just ids
             tuple(mesh.axis_names),
         )
     key = (id(code), rounds, refill_every, id(qc), id(dense), mkey,
@@ -657,50 +659,33 @@ def simulate_stream_gdbf(
             lanes * iters_per_call / max(avg_iters_hint, 1.0)
         )
     total_steps = cfg.max_phases * cfg.num_iterations
-    nd = 1
-    if mesh is not None:
-        nd = mesh.shape[data_axis]
-        if _default_pool:
-            pool_frames = -(-pool_frames // nd) * nd  # round up to nd
-        if lanes % nd or pool_frames % nd:
-            raise ValueError(
-                f"lanes ({lanes}) and pool_frames ({pool_frames}) must "
-                f"divide the {data_axis!r} axis size {nd}"
-            )
 
     state = gdbf_stream_init(
         code, cfg, lanes, pool_dtype or jnp.float32
     )
+    nd = 1
+    pool_out = None
+    if mesh is not None:
+        from .stream import mesh_setup
+
+        nd, pool_frames, state, pool_out = mesh_setup(
+            mesh, data_axis, lanes, pool_frames, _default_pool, state
+        )
     call = _cached_call(
         code, rounds_per_call, refill_every, qc, dense,
         mesh=mesh, data_axis=data_axis,
     )
 
-    def _pool_impl(base_):
+    def _pool_impl(base_, root_):
         return build_channel_pool_gdbf(
-            code, kch, base_, pool_frames, sigma, preprocess, pool_dtype,
+            code, root_, base_, pool_frames, sigma, preprocess, pool_dtype,
             qc=qc, dense=dense,
         )
 
-    if mesh is None:
-        pool_fn = jax.jit(_pool_impl)
-    else:
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
-        shard_rows = NamedSharding(mesh, P(data_axis))
-        pool_fn = jax.jit(
-            _pool_impl,
-            out_shardings=(shard_rows, shard_rows, shard_rows),
-        )
-        state = jax.device_put(
-            state,
-            jax.tree.map(
-                lambda x: NamedSharding(
-                    mesh, P(*([None] * (x.ndim - 1) + [data_axis]))
-                ),
-                state,
-            ),
-        )
+    pool_fn = jax.jit(
+        _pool_impl,
+        **({} if pool_out is None else dict(out_shardings=pool_out)),
+    )
 
     stats = MCStats(n=code.n)
     stats.iteration_hist = np.zeros(total_steps + 1, np.int64)
@@ -727,10 +712,23 @@ def simulate_stream_gdbf(
             ) + int(a["smooth_sum"])
 
     pool = unc = sat0 = None
+    rotation = 0
     for _ci in range(max_calls):
         if stop.done(stats.errors, stats.word_errors, stats.total_words):
             break
-        pool, unc, sat0 = pool_fn(jnp.int32(base))
+        if base > _stream._GID_LIMIT - nd * pool_frames:
+            # rotate the CHANNEL gid space before int32 overflow (see
+            # stream.simulate_stream; kdec is NOT rotated — in-flight
+            # frames draw their decoder noise from it by (gid, step), so
+            # rotating it would change them mid-decode)
+            rotation += 1
+            # fold value >= 2**31 cannot collide with any gid fold
+            kch = jax.random.fold_in(
+                jax.random.split(jax.random.key(seed))[0],
+                2**31 + rotation,
+            )
+            base = 0
+        pool, unc, sat0 = pool_fn(jnp.int32(base), kch)
         state, acc, _rec = call(
             state, pool, unc, sat0, jnp.int32(base), kdec, sigma, cfg
         )

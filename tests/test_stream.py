@@ -487,6 +487,53 @@ def test_sharded_simulate_stream_stats():
     assert abs(st1.ber - st0.ber) < tol, (st1.ber, st0.ber)
 
 
+def test_gid_rotation_before_int32_overflow(monkeypatch):
+    """Deep campaigns exhaust the int32 gid space (the round-4 deep-FER
+    run used 80% of it): the driver must rotate the channel root and
+    reset base instead of overflowing.  Pin by shrinking the limit so a
+    short run rotates, and assert statistics stay sane."""
+    from ldpcsimulation_tpu.harness import stream as stream_mod
+
+    dec = minsum_qc_stream(QC)
+    monkeypatch.setattr(stream_mod, "_GID_LIMIT", 300)
+    stats = simulate_stream(
+        QC.n, dec, SNR, RATE, T,
+        stop=StopRule(min_bit_errors=0, min_word_errors=0,
+                      max_frames=600),
+        lanes=32, rounds_per_call=8, refill_every=1, pool_frames=64,
+        seed=6,
+    )
+    # several rotations were required to reach 600 frames with a 300-gid
+    # space; counters must remain self-consistent
+    assert stats.total_words >= 600
+    assert stats.iteration_hist.sum() == stats.total_words
+    assert stats.total_bits == stats.total_words * QC.n
+
+
+def test_drain_outlasts_single_call_budget():
+    """Review regression: a drain call whose iteration budget
+    (rounds × refill) is far below a lane's residual iterations retires
+    nothing on its first pass — run_drain must keep draining until all
+    lanes are idle, not break on zero retirements."""
+    dec = minsum_qc_stream(QC)
+    kw = dict(
+        # -20 dB: nothing converges, every frame runs the full T=20
+        stop=StopRule(min_bit_errors=0, min_word_errors=0, max_frames=4),
+        lanes=4, seed=2, refill_every=1,
+    )
+    small = simulate_stream(QC.n, dec, -20.0, RATE, 20,
+                            rounds_per_call=2, **kw)
+    big = simulate_stream(QC.n, dec, -20.0, RATE, 20,
+                          rounds_per_call=32, **kw)
+    # identical counted populations regardless of per-call budget
+    assert small.total_words == big.total_words
+    assert small.errors == big.errors
+    assert small.iteration_hist.sum() == small.total_words
+    # every counted frame ran the full cap (nothing converges at -20 dB)
+    assert small.iteration_hist[20] == small.total_words
+
+
+
 def test_sweep_stream_cli(tmp_path):
     """--stream CLI route: min-sum QC and BP QC rows through the
     streaming harness, reference log-row format intact."""

@@ -299,33 +299,6 @@ def test_gdbf_drain_retires_every_injected_frame():
     assert retired == set(range(consumed))
 
 
-def test_drain_outlasts_single_call_budget():
-    """Review regression: a drain call whose iteration budget
-    (rounds × refill) is far below a lane's residual iterations retires
-    nothing on its first pass — run_drain must keep draining until all
-    lanes are idle, not break on zero retirements."""
-    from ldpcsimulation_tpu.harness.stream import (
-        minsum_qc_stream, simulate_stream,
-    )
-
-    dec = minsum_qc_stream(QC)
-    kw = dict(
-        # -20 dB: nothing converges, every frame runs the full T=20
-        stop=StopRule(min_bit_errors=0, min_word_errors=0, max_frames=4),
-        lanes=4, seed=2, refill_every=1,
-    )
-    small = simulate_stream(QC.n, dec, -20.0, RATE, 20,
-                            rounds_per_call=2, **kw)
-    big = simulate_stream(QC.n, dec, -20.0, RATE, 20,
-                          rounds_per_call=32, **kw)
-    # identical counted populations regardless of per-call budget
-    assert small.total_words == big.total_words
-    assert small.errors == big.errors
-    assert small.iteration_hist.sum() == small.total_words
-    # every counted frame ran the full cap (nothing converges at -20 dB)
-    assert small.iteration_hist[20] == small.total_words
-
-
 def test_simulate_stream_drain_counts_all_frames():
     """Binary harness: with a stop rule that fires after one call, the
     drain still counts every injected frame (total_words is a multiple of
