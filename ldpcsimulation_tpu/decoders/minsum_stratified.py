@@ -159,36 +159,65 @@ def decode_minsum_stratified(
     sdt = storage_dtype if storage_dtype is not None else y_t.dtype
 
     # scatter columns into the padded group grid (one gather per decode)
+    yg = stratified_grid(sc, y_t)
+
+    v2c0 = stratified_init(sc, yg, sdt)
+    step_y = stratified_minsum_step(sc, variant, alpha, delta,
+                                    storage_dtype)
+
+    d, iters, done = run_flooding_soft(
+        yg, v2c0, lambda v2c: step_y(v2c, yg),
+        lambda d: stratified_check_satisfied(sc, d),
+        num_iterations, early_termination, b,
+    )
+    hard = jnp.take(d.reshape(sc.kg * sc.w, b), sc.pos_of_col, axis=0)
+    return DecodeResult(hard=hard.T, iterations=iters, satisfied=done)
+
+
+def stratified_grid(sc: StratifiedCode, y_t: jax.Array) -> jax.Array:
+    """[N, B] column-ordered samples -> the padded [kg, w, B] group grid
+    (one gather per decode; invalid cells are exact zeros)."""
     safe_slot = jnp.maximum(sc.col_slot, 0)
     yg = jnp.take(y_t, safe_slot.reshape(-1), axis=0).reshape(
-        sc.kg, sc.w, b
+        sc.kg, sc.w, y_t.shape[-1]
     )
-    yg = jnp.where((sc.col_slot >= 0)[..., None], yg, 0.0)
+    return jnp.where((sc.col_slot >= 0)[..., None], yg, 0.0)
 
+
+def stratified_init(sc: StratifiedCode, yg: jax.Array, sdt) -> jax.Array:
+    """Initial v2c planes: every valid slot starts at the channel sample
+    (initializeSymMessages, decodeMinSum.cpp:364-370)."""
     vnv = sc.vn_valid[..., None]
-    v2c0 = jnp.where(
-        vnv, jnp.broadcast_to(yg[None], (sc.mb, sc.kg, sc.w, b)), 0.0
+    return jnp.where(
+        vnv,
+        jnp.broadcast_to(yg[None], (sc.mb,) + yg.shape),
+        0.0,
     ).astype(sdt)
 
-    def step(v2c):
+
+def stratified_minsum_step(sc: StratifiedCode, variant="plain", alpha=1.0,
+                           delta=0.0, storage_dtype=None):
+    """The :func:`decode_minsum_stratified` iteration as a pure function
+    of (messages, channel grid): ``step(v2c, yg) -> (v2c', totals)``.
+    Identical operations to the batch decoder (factored out for the
+    streaming refill harness, exactly as minsum_qc.qc_minsum_step)."""
+    vnv = sc.vn_valid[..., None]
+
+    def step(v2c, yg):
+        cdt = jnp.promote_types(yg.dtype, jnp.float32)
         v2c_cn = stratified_to_cn(sc, v2c)
         c2v_cn = _cn_minsum(sc, v2c_cn, variant, alpha, delta)
-        c2v = stratified_to_vn(sc, c2v_cn).astype(y_t.dtype)
+        c2v = stratified_to_vn(sc, c2v_cn).astype(cdt)
         c2v = jnp.where(vnv, c2v, 0.0)
         # messages (strata) left-fold first, channel term last — the
         # generic decoder's exact grouping (minsum.vn_update)
         acc = c2v[0]
         for s in range(1, sc.mb):
             acc = acc + c2v[s]
-        total = yg + acc
+        total = yg.astype(cdt) + acc
+        sdt = storage_dtype if storage_dtype is not None else yg.dtype
         v2c_new = jnp.where(vnv, storage_cast(total[None] - c2v, sdt),
                             jnp.zeros((), sdt))
         return v2c_new, total
 
-    d, iters, done = run_flooding_soft(
-        yg, v2c0, step,
-        lambda d: stratified_check_satisfied(sc, d),
-        num_iterations, early_termination, b,
-    )
-    hard = jnp.take(d.reshape(sc.kg * sc.w, b), sc.pos_of_col, axis=0)
-    return DecodeResult(hard=hard.T, iterations=iters, satisfied=done)
+    return step

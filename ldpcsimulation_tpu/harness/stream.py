@@ -56,6 +56,7 @@ __all__ = [
     "minsum_qc_stream",
     "bp_qc_stream",
     "minsum_stream",
+    "minsum_stratified_stream",
     "ddbmp_qc_stream",
     "stream_init",
     "make_stream_call",
@@ -206,6 +207,49 @@ def minsum_stream(
         ),
         satisfied=lambda d: check_satisfied(code, d),
         hard=lambda d: d,
+    )
+
+
+def minsum_stratified_stream(
+    sc,
+    variant: str = "plain",
+    alpha: float = 1.0,
+    delta: float = 0.0,
+    storage_dtype=None,
+) -> StreamDecoder:
+    """Stream adapter for
+    :func:`..decoders.minsum_stratified.decode_minsum_stratified` (same
+    step function object — bit-identical arithmetic).  This is the
+    universal unstructured-alist fallback's stream path: codes that fail
+    QC detection but color into strata keep `--stream` too."""
+    from ..decoders.minsum_stratified import (
+        stratified_check_satisfied,
+        stratified_grid,
+        stratified_init,
+        stratified_minsum_step,
+    )
+
+    def prep(rows):
+        return stratified_grid(sc, rows.T)
+
+    def init(ych):
+        sdt = storage_dtype if storage_dtype is not None else ych.dtype
+        return stratified_init(sc, ych, sdt)
+
+    def hard(d):
+        return jnp.take(
+            d.reshape(sc.kg * sc.w, d.shape[-1]), sc.pos_of_col, axis=0
+        )
+
+    return StreamDecoder(
+        prep=prep,
+        init=init,
+        step=_upcast_step(
+            stratified_minsum_step(sc, variant, alpha, delta,
+                                   storage_dtype)
+        ),
+        satisfied=lambda d: stratified_check_satisfied(sc, d),
+        hard=hard,
     )
 
 

@@ -519,12 +519,20 @@ def main(argv: Optional[List[str]] = None) -> int:
             if args.stream:
                 from ..harness.stream import (
                     minsum_qc_stream,
+                    minsum_stratified_stream,
                     minsum_stream,
                 )
 
                 if qc is not None:
                     sdec = minsum_qc_stream(
                         qc, variant=variant,
+                        alpha=alpha if alpha is not None else 1.0,
+                        delta=delta if delta is not None else 0.0,
+                        storage_dtype=sdt,
+                    )
+                elif strat is not None:
+                    sdec = minsum_stratified_stream(
+                        strat, variant=variant,
                         alpha=alpha if alpha is not None else 1.0,
                         delta=delta if delta is not None else 0.0,
                         storage_dtype=sdt,

@@ -154,6 +154,36 @@ def test_bp_qc_stream_matches_batch():
     check_equal(per_frame, ref, min_covered=110)
 
 
+def test_minsum_stratified_stream_matches_batch():
+    """The universal unstructured fallback keeps --stream: per-frame
+    equality vs decode_minsum_stratified on a synthetic irregular non-QC
+    ensemble (the same construction the routing tests use)."""
+    from ldpcsimulation_tpu.codes import build_code
+    from ldpcsimulation_tpu.codes.stratified import detect_stratified
+    from ldpcsimulation_tpu.decoders.minsum_stratified import (
+        decode_minsum_stratified,
+    )
+    from ldpcsimulation_tpu.harness.stream import minsum_stratified_stream
+    from .test_stratified import synthetic_irregular_stratified
+
+    alist = synthetic_irregular_stratified(n=192, h=24, mb=4, seed=3)
+    sc = detect_stratified(alist)
+    assert sc is not None
+    code = build_code(alist)
+    dec = minsum_stratified_stream(sc, storage_dtype=jnp.float16)
+    ref = reference_frames(
+        dec, code.n, 96,
+        lambda rows: decode_minsum_stratified(
+            sc, rows, T, early_termination=True,
+            storage_dtype=jnp.float16,
+        ),
+    )
+    per_frame = run_stream(
+        dec, code.n, [(0, 96)], lanes=24, rounds=40, refill_every=2
+    )
+    check_equal(per_frame, ref, min_covered=80)
+
+
 def test_minsum_generic_stream_matches_batch():
     code = load_named_code("peg_96_48")
     dec = minsum_stream(code, variant="normalized", alpha=1.25)
@@ -602,6 +632,23 @@ def test_sweep_stream_cli_gdbf_and_nbqspa(tmp_path):
     assert rc == 0
     row2 = open(log2).read().strip()
     assert row2 and len(row2.split("\n")) == 1
+
+    # unstructured alist routing through the stratified stream adapter
+    from ldpcsimulation_tpu.codes.alist import save_alist
+    from .test_stratified import synthetic_irregular_stratified
+
+    ap = tmp_path / "irr.alist"
+    save_alist(synthetic_irregular_stratified(n=192, h=24, mb=4, seed=3),
+               str(ap))
+    log_s = str(tmp_path / "strat_stream.log")
+    rc = sweep_mod.main([
+        "minsum", "--alist", str(ap), "--snr", "3.0", "-T", "8",
+        "--log", log_s, "--batch", "64", "--early-termination",
+        "--stream", "--max-frames", "128", "--min-errors", "1",
+        "--min-word-errors", "1",
+    ])
+    assert rc == 0
+    assert open(log_s).read().strip()
 
     log3 = str(tmp_path / "ddbmp_stream.log")
     rc = sweep_mod.main([

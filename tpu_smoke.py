@@ -98,6 +98,7 @@ def main() -> int:
         ("minsum stream refill", lambda: _stream_check()),
         ("gdbf stream refill", lambda: _stream_gdbf_check()),
         ("ddbmp stream refill", lambda: _stream_ddbmp_check()),
+        ("stratified stream refill", lambda: _stream_strat_check()),
         ("minsum_qc", lambda: decode_minsum_qc(qc, yq, 5).hard),
         ("minsum_qc f16", lambda: decode_minsum_qc(
             qc, yq, 5, storage_dtype=jnp.float16).hard),
@@ -207,6 +208,26 @@ def main() -> int:
         )
         st = stream_init(sdec, 64, qc.n)
         callf = make_stream_call(sdec, qc.n, 8, 12, 2)
+        _st, acc, _rec = callf(st, pool, unc, sat0, jnp.int32(0))
+        assert int(acc["frames"]) > 0
+        return np.asarray(acc["bit_errs"], np.float64)
+
+    def _stream_strat_check():
+        # the unstructured-fallback stream adapter on the chip (uses the
+        # smoke's stratified code sc)
+        from ldpcsimulation_tpu.harness.stream import (
+            build_channel_pool,
+            make_stream_call,
+            minsum_stratified_stream,
+            stream_init,
+        )
+
+        sdec = minsum_stratified_stream(sc, storage_dtype=jnp.float16)
+        pool, unc, sat0 = build_channel_pool(
+            sdec, jax.random.key(1), 0, 256, sc.n, 0.7,
+        )
+        st = stream_init(sdec, 64, sc.n)
+        callf = make_stream_call(sdec, sc.n, 8, 12, 2)
         _st, acc, _rec = callf(st, pool, unc, sat0, jnp.int32(0))
         assert int(acc["frames"]) > 0
         return np.asarray(acc["bit_errs"], np.float64)
