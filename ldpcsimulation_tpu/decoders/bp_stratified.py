@@ -28,11 +28,44 @@ from .base import DecodeResult, run_flooding_soft, sgn_pos, storage_cast
 from .bp import MAXLLR, pair_excl_logmags
 from .minsum_stratified import (
     stratified_check_satisfied,
+    stratified_grid,
+    stratified_init,
     stratified_to_cn,
     stratified_to_vn,
 )
 
-__all__ = ["decode_bp_stratified"]
+__all__ = ["decode_bp_stratified", "stratified_bp_step"]
+
+
+def stratified_bp_step(sc: StratifiedCode, max_llr: float = MAXLLR,
+                       storage_dtype=None):
+    """The :func:`decode_bp_stratified` iteration as a pure function of
+    (messages, channel grid): ``step(v2c, yg) -> (v2c', totals)``.
+    Identical operations to the batch decoder (factored for the
+    streaming refill harness)."""
+    vnv = sc.vn_valid[..., None]
+
+    def step(v2c, yg):
+        sdt = storage_dtype if storage_dtype is not None else yg.dtype
+        v2c_cn = stratified_to_cn(sc, v2c)
+        c2v_cn = _cn_bp(sc, v2c_cn)
+        c2v = stratified_to_vn(sc, c2v_cn)  # f32 out of the einsum
+        c2v = jnp.where(vnv, c2v, 0.0)
+        # messages (strata) left-fold first, channel term last (bp/minsum
+        # VN grouping)
+        acc = c2v[0]
+        for s in range(1, sc.mb):
+            acc = acc + c2v[s]
+        total = yg.astype(c2v.dtype) + acc
+        v2c_new = jnp.where(
+            vnv,
+            storage_cast(jnp.clip(total[None] - c2v, -max_llr, max_llr),
+                         sdt),
+            jnp.zeros((), sdt),
+        )
+        return v2c_new, total
+
+    return step
 
 
 def _cn_bp(sc: StratifiedCode, v2c_cn):
@@ -82,38 +115,12 @@ def decode_bp_stratified(
     assert n == sc.n, (n, sc.n)
     sdt = storage_dtype if storage_dtype is not None else llr_t.dtype
 
-    safe_slot = jnp.maximum(sc.col_slot, 0)
-    yg = jnp.take(llr_t, safe_slot.reshape(-1), axis=0).reshape(
-        sc.kg, sc.w, b
-    )
-    yg = jnp.where((sc.col_slot >= 0)[..., None], yg, 0.0)
-
-    vnv = sc.vn_valid[..., None]
-    v2c0 = jnp.where(
-        vnv, jnp.broadcast_to(yg[None], (sc.mb, sc.kg, sc.w, b)), 0.0
-    ).astype(sdt)
-
-    def step(v2c):
-        v2c_cn = stratified_to_cn(sc, v2c)
-        c2v_cn = _cn_bp(sc, v2c_cn)
-        c2v = stratified_to_vn(sc, c2v_cn)  # f32 out of the einsum
-        c2v = jnp.where(vnv, c2v, 0.0)
-        # messages (strata) left-fold first, channel term last (bp/minsum
-        # VN grouping)
-        acc = c2v[0]
-        for s in range(1, sc.mb):
-            acc = acc + c2v[s]
-        total = yg + acc
-        v2c_new = jnp.where(
-            vnv,
-            storage_cast(jnp.clip(total[None] - c2v, -max_llr, max_llr),
-                         sdt),
-            jnp.zeros((), sdt),
-        )
-        return v2c_new, total
+    yg = stratified_grid(sc, llr_t)
+    v2c0 = stratified_init(sc, yg, sdt)
+    step_y = stratified_bp_step(sc, max_llr, storage_dtype)
 
     d, iters, done = run_flooding_soft(
-        yg, v2c0, step,
+        yg, v2c0, lambda v2c: step_y(v2c, yg),
         lambda d: stratified_check_satisfied(sc, d),
         num_iterations, early_termination, b,
     )

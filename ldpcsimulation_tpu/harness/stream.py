@@ -57,6 +57,7 @@ __all__ = [
     "bp_qc_stream",
     "minsum_stream",
     "minsum_stratified_stream",
+    "bp_stratified_stream",
     "ddbmp_qc_stream",
     "stream_init",
     "make_stream_call",
@@ -248,6 +249,44 @@ def minsum_stratified_stream(
             stratified_minsum_step(sc, variant, alpha, delta,
                                    storage_dtype)
         ),
+        satisfied=lambda d: stratified_check_satisfied(sc, d),
+        hard=hard,
+    )
+
+
+def bp_stratified_stream(
+    sc, max_llr: Optional[float] = None, storage_dtype=None
+) -> StreamDecoder:
+    """Stream adapter for
+    :func:`..decoders.bp_stratified.decode_bp_stratified`.  Pool rows
+    must be LLRs; ``prep`` applies the batch decoder's ±max_llr clamp
+    before gathering into the group grid."""
+    from ..decoders.bp import MAXLLR
+    from ..decoders.bp_stratified import stratified_bp_step
+    from ..decoders.minsum_stratified import (
+        stratified_check_satisfied,
+        stratified_grid,
+        stratified_init,
+    )
+
+    ml = MAXLLR if max_llr is None else max_llr
+
+    def prep(rows):
+        return stratified_grid(sc, jnp.clip(rows.T, -ml, ml))
+
+    def init(ych):
+        sdt = storage_dtype if storage_dtype is not None else ych.dtype
+        return stratified_init(sc, ych, sdt)
+
+    def hard(d):
+        return jnp.take(
+            d.reshape(sc.kg * sc.w, d.shape[-1]), sc.pos_of_col, axis=0
+        )
+
+    return StreamDecoder(
+        prep=prep,
+        init=init,
+        step=_upcast_step(stratified_bp_step(sc, ml, storage_dtype)),
         satisfied=lambda d: stratified_check_satisfied(sc, d),
         hard=hard,
     )

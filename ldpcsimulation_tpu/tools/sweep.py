@@ -444,16 +444,22 @@ def main(argv: Optional[List[str]] = None) -> int:
                     storage_dtype=sdt,
                 )
             if args.stream:
-                from ..harness.stream import bp_qc_stream
+                from ..harness.stream import (
+                    bp_qc_stream,
+                    bp_stratified_stream,
+                )
 
-                if qc is None:
+                if qc is not None:
+                    sdec = bp_qc_stream(qc, storage_dtype=sdt)
+                elif strat is not None:
+                    sdec = bp_stratified_stream(strat, storage_dtype=sdt)
+                else:
                     raise SystemExit(
-                        "sweep: error: --stream bp requires a QC code "
-                        "(generic/stratified BP stream adapters: use the "
-                        "batched path)"
+                        "sweep: error: --stream bp requires a QC or "
+                        "stratifiable code (generic BP: batched path)"
                     )
                 stats = run_stream_point(
-                    snr, bp_qc_stream(qc, storage_dtype=sdt),
+                    snr, sdec,
                     preprocess=lambda y: llr_from_channel(y, n0),
                 )
             else:

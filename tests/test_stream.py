@@ -184,6 +184,37 @@ def test_minsum_stratified_stream_matches_batch():
     check_equal(per_frame, ref, min_covered=80)
 
 
+def test_bp_stratified_stream_matches_batch():
+    """BP on the stratified fallback: stream vs batched bit-exact (same
+    step object; the ulp-tie caveat is only vs the GENERIC decoder)."""
+    from ldpcsimulation_tpu.codes import build_code
+    from ldpcsimulation_tpu.codes.stratified import detect_stratified
+    from ldpcsimulation_tpu.decoders.bp_stratified import (
+        decode_bp_stratified,
+    )
+    from ldpcsimulation_tpu.harness.stream import bp_stratified_stream
+    from .test_stratified import synthetic_irregular_stratified
+
+    alist = synthetic_irregular_stratified(n=192, h=24, mb=4, seed=3)
+    sc = detect_stratified(alist)
+    code = build_code(alist)
+    dec = bp_stratified_stream(sc, storage_dtype=jnp.float16)
+    pre = lambda y: llr_from_channel(y, N0)  # noqa: E731
+    ref = reference_frames(
+        dec, code.n, 96,
+        lambda rows: decode_bp_stratified(
+            sc, rows, T, early_termination=True,
+            storage_dtype=jnp.float16,
+        ),
+        preprocess=pre,
+    )
+    per_frame = run_stream(
+        dec, code.n, [(0, 96)], lanes=24, rounds=40, refill_every=2,
+        preprocess=pre,
+    )
+    check_equal(per_frame, ref, min_covered=80)
+
+
 def test_minsum_generic_stream_matches_batch():
     code = load_named_code("peg_96_48")
     dec = minsum_stream(code, variant="normalized", alpha=1.25)
