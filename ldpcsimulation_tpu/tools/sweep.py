@@ -125,7 +125,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--early-termination", action="store_true")
     p.add_argument(
         "--stream", action="store_true",
-        help="min-sum/BP (with --early-termination), gdbf, nbqspa: run "
+        help="min-sum/BP (with --early-termination; QC or stratified "
+             "codes), gdbf, nbqspa, ddbmp: run "
              "the streaming refill harness (persistent lanes + "
              "per-frame-keyed channel pool) instead of the batched masked "
              "loop — same per-frame statistics (bit-exact, "
