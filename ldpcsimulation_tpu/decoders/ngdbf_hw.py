@@ -116,6 +116,53 @@ jax.tree_util.register_dataclass(
 )
 
 
+def hw_graph_ops(code: Code, qc=None, dense: Optional[DenseGraph] = None):
+    """(syndrome01, satsum) graph operations for the NGDBFhw update,
+    shared by the batch decoder and the streaming adapter.
+
+    syndrome01(d {0,1} [N, B]) -> [M, B] {0,1}, 0 = satisfied
+    (NGDBFhw.cpp:546-563); satsum(syn) -> [N, B] count of SATISFIED
+    neighbor checks per variable (the Smult·Σ(1−s) term, ``:565-593``).
+    """
+    n = code.n
+
+    def syndrome01(d):
+        if dense is not None:
+            return dense_syndrome01(dense, d)
+        if qc is not None:
+            from .qc_ops import qc_syndrome_bipolar
+
+            return (1 - qc_syndrome_bipolar(qc, 1 - 2 * d)) // 2
+        vals = jnp.take(
+            1 - 2 * d, code.cn_vn.reshape(-1), axis=0
+        ).reshape(code.m, code.dc_max, d.shape[-1])
+        vals = jnp.where(
+            code.cn_mask[:, :, None], vals, jnp.ones_like(vals)
+        )
+        prod = jnp.prod(vals, axis=1)
+        return (1 - prod) // 2
+
+    def satsum(syn):
+        if dense is not None:
+            return dense_sat_sum_per_vn(dense, syn)
+        if qc is not None:
+            from .qc_ops import qc_syndrome_sum_per_vn
+
+            unsat = qc_syndrome_sum_per_vn(qc, syn)
+            return (code.vn_deg[:, None] - unsat).astype(jnp.int32)
+        sat_neighbors = jnp.take(
+            1 - syn, code.vn_cn.reshape(-1), axis=0
+        ).reshape(n, code.dv_max, syn.shape[-1])
+        sat_neighbors = jnp.where(
+            code.vn_mask[:, :, None],
+            sat_neighbors,
+            jnp.zeros_like(sat_neighbors),
+        )
+        return jnp.sum(sat_neighbors, axis=1)
+
+    return syndrome01, satsum
+
+
 def hw_quantize_int(x, nl: float, lmax: float):
     """quantize+pack+unpack fused: ±(2·floor(|x|·NL/(2·lmax)) + 1).
 
@@ -235,20 +282,7 @@ def decode_ngdbf_hw(
 
     row_iota = jax.lax.broadcasted_iota(jnp.int32, (n, b), 0)
 
-    def syndrome01(d):
-        """[M, B] {0,1} syndrome, 0 = satisfied (NGDBFhw.cpp:546-563)."""
-        if dense is not None:
-            return dense_syndrome01(dense, d)
-        if qc is not None:
-            from .qc_ops import qc_syndrome_bipolar
-
-            return (1 - qc_syndrome_bipolar(qc, 1 - 2 * d)) // 2
-        vals = jnp.take(1 - 2 * d, code.cn_vn.reshape(-1), axis=0).reshape(
-            code.m, code.dc_max, b
-        )
-        vals = jnp.where(code.cn_mask[:, :, None], vals, jnp.ones_like(vals))
-        prod = jnp.prod(vals, axis=1)
-        return (1 - prod) // 2
+    syndrome01, _satsum = hw_graph_ops(code, qc, dense)
 
     init = dict(
         d=d_init,
@@ -295,23 +329,7 @@ def decode_ngdbf_hw(
         act = ~frozen
 
         # symbol update (NGDBFhw.cpp:565-593)
-        if dense is not None:
-            ssum = dense_sat_sum_per_vn(dense, syn)  # [N, B]
-        elif qc is not None:
-            from .qc_ops import qc_syndrome_sum_per_vn
-
-            unsat = qc_syndrome_sum_per_vn(qc, syn)  # [N, B] ints
-            ssum = (code.vn_deg[:, None] - unsat).astype(jnp.int32)
-        else:
-            sat_neighbors = jnp.take(
-                1 - syn, code.vn_cn.reshape(-1), axis=0
-            ).reshape(n, code.dv_max, b)
-            sat_neighbors = jnp.where(
-                code.vn_mask[:, :, None],
-                sat_neighbors,
-                jnp.zeros_like(sat_neighbors),
-            )
-            ssum = jnp.sum(sat_neighbors, axis=1)  # [N, B]
+        ssum = _satsum(syn)  # [N, B]
         if cfg.max_phases == 1 and qpointer0 is None:
             # Single phase: a frame's qpointer only diverges from the global
             # iteration count after it freezes, and frozen frames never use

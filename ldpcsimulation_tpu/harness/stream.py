@@ -31,9 +31,10 @@ only the int8 decision carry is masked; a satisfied frame's message state
 evolves freely until its lane is refilled.
 
 Scope: deterministic decoders (min-sum variants and BP — generic
-slot-array and QC paths —, DD-BMP on the QC path, non-binary QSPA); the
-GDBF/NGDBF family streams through :mod:`.stream_gdbf` (per-(frame, step)
-noise keying).
+slot-array, QC, and stratified-fallback paths —, DD-BMP on the QC path,
+non-binary QSPA); the GDBF family streams through :mod:`.stream_gdbf`
+(per-(frame, step) noise keying) and the fixed-point NGDBFhw through
+:mod:`.stream_ngdbfhw` (per-frame noise rings, shared-slice pointer).
 """
 
 from __future__ import annotations

@@ -634,6 +634,65 @@ def main(argv: Optional[List[str]] = None) -> int:
                bytes_per_frame_iter=real_bytes,
                flops_per_frame_iter=real_flops)
 
+        # streamed NGDBFhw (round 4): shared-slice ring via per-frame
+        # injection offsets; avg ~26 iterations vs the T=200 cap
+        hw_stream_label = (
+            "NGDBFhw T<=200 REAL 802.3an H, STREAM refill (K=16)"
+        )
+        if not args.only or args.only.lower() in hw_stream_label.lower():
+            from ..harness.stream_ngdbfhw import (
+                build_channel_pool_hw,
+                hw_stream_init,
+                make_hw_stream_call,
+            )
+
+            lanes_hw, rounds_hw, K_hw = 4096, 32, 16
+            F_hw = lanes_hw + int(lanes_hw * rounds_hw * K_hw / 26.0)
+            kch_hw = jax.random.key(0)
+            kdec_hw = jax.random.key(1)
+            st_hw = hw_stream_init(real, cfg_hw, lanes_hw)
+            callf_hw = make_hw_stream_call(
+                real, cfg_hw, rounds_hw, K_hw, dense=dg
+            )
+
+            @jax.jit
+            def pool_hw(base_):
+                return build_channel_pool_hw(
+                    real, kch_hw, base_, F_hw, sigma_hw, dense=dg
+                )
+
+            base_hw = 0
+            samples = []
+            for i in range(1 + args.repeats):
+                t0 = time.perf_counter()
+                pl, un, s0 = pool_hw(jnp.int32(base_hw))
+                st_hw, acc, _ = callf_hw(
+                    st_hw, pl, un, s0, jnp.int32(base_hw), kdec_hw,
+                    sigma_hw,
+                )
+                a = jax.device_get(acc)
+                dtc = time.perf_counter() - t0
+                base_hw += int(a["consumed"])
+                if i > 0:
+                    samples.append(
+                        (dtc, int(a["frames"]), int(a["iter_sum"]))
+                    )
+            dtm = sum(s[0] for s in samples) / len(samples)
+            fr = sum(s[1] for s in samples) / len(samples)
+            avg_it = sum(s[2] for s in samples) / max(
+                sum(s[1] for s in samples), 1
+            )
+            bits = fr * 1723 / dtm
+            gbps = fr * avg_it * real_bytes / dtm
+            rows.append((
+                hw_stream_label, 200, int(fr), dtm, bits, gbps, False,
+            ))
+            print(
+                f"{hw_stream_label}: {dtm*1e3:.0f} ms, "
+                f"{bits/1e6:.1f} Mb/s (avg {avg_it:.1f} it/frame)",
+                file=sys.stderr,
+            )
+
     # DD-BMP T=50 on a QC (4000,2000)-class code: the roll path
     from ..codes.qc import qc_peg as _qc_peg
     from ..decoders.ddbmp import decode_ddbmp_qc

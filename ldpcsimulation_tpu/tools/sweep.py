@@ -126,7 +126,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--stream", action="store_true",
         help="min-sum/BP (with --early-termination; QC or stratified "
-             "codes), gdbf, nbqspa, ddbmp: run "
+             "codes), gdbf, nbqspa, ddbmp, ngdbfhw: run "
              "the streaming refill harness (persistent lanes + "
              "per-frame-keyed channel pool) instead of the batched masked "
              "loop — same per-frame statistics (bit-exact, "
@@ -320,13 +320,19 @@ def main(argv: Optional[List[str]] = None) -> int:
     if args.stream:
         if args.decoder not in (
             "minsum", "offsetminsum", "normalizedminsum", "bp",
-            "gdbf", "nbqspa", "ddbmp",
+            "gdbf", "nbqspa", "ddbmp", "ngdbfhw",
         ):
             raise SystemExit(
                 "sweep: error: --stream supports min-sum, BP, gdbf, "
-                "nbqspa and ddbmp"
+                "nbqspa, ddbmp and ngdbfhw"
             )
-        if args.decoder not in ("gdbf", "nbqspa", "ddbmp") and (
+        if args.decoder == "ngdbfhw" and args.persistent_qpointer:
+            raise SystemExit(
+                "sweep: error: --stream ngdbfhw already chains ring "
+                "offsets per frame (injection-time qpointer0); "
+                "--persistent-qpointer is the batched-lane semantic"
+            )
+        if args.decoder not in ("gdbf", "nbqspa", "ddbmp", "ngdbfhw") and (
             not args.early_termination
         ):
             # gdbf/nbqspa/ddbmp always early-terminate (built in)
@@ -702,7 +708,17 @@ def main(argv: Optional[List[str]] = None) -> int:
                 ring_len=max(2648, code.n + 600),
             )
             # NGDBFhw runs a fixed frame count (NGDBFhw.cpp:193)
-            if args.persistent_qpointer:
+            if args.stream:
+                from ..harness.stream_ngdbfhw import simulate_stream_ngdbfhw
+
+                stats = simulate_stream_ngdbfhw(
+                    code, cfg, snr, rate=rate,
+                    stop=StopRule.fixed_frames(args.frames),
+                    lanes=args.batch, rounds_per_call=32,
+                    refill_every=16, seed=args.seed, qc=qc, dense=dense,
+                    verbose=args.verbose,
+                )
+            elif args.persistent_qpointer:
                 # cross-frame ring-pointer persistence (NGDBFhw.cpp:153,
                 # 356-358): each batch lane models one serial hardware
                 # decoder; the pointer threads between batches via the

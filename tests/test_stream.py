@@ -626,10 +626,10 @@ def test_sweep_stream_rejects_bad_combos(tmp_path):
         ])  # no --early-termination
     with pytest.raises(SystemExit):
         sweep_mod.main([
-            "ngdbfhw", "--code", "qc_1008_504", "--snr", "2.0", "-T", "5",
+            "minsum", "--code", "qc_1008_504", "--snr", "2.0", "-T", "5",
             "--log", str(tmp_path / "y.log"), "--stream",
-            "--early-termination",
-        ])  # unsupported decoder (fixed-frame-count harness)
+            "--early-termination", "--distributed",
+        ])  # --distributed is the batched grid engine
 
 
 def test_sweep_stream_cli_gdbf_and_nbqspa(tmp_path):

@@ -99,6 +99,7 @@ def main() -> int:
         ("gdbf stream refill", lambda: _stream_gdbf_check()),
         ("ddbmp stream refill", lambda: _stream_ddbmp_check()),
         ("stratified stream refill", lambda: _stream_strat_check()),
+        ("ngdbfhw stream refill", lambda: _stream_hw_check()),
         ("minsum_qc", lambda: decode_minsum_qc(qc, yq, 5).hard),
         ("minsum_qc f16", lambda: decode_minsum_qc(
             qc, yq, 5, storage_dtype=jnp.float16).hard),
@@ -229,6 +230,27 @@ def main() -> int:
         st = stream_init(sdec, 64, sc.n)
         callf = make_stream_call(sdec, sc.n, 8, 12, 2)
         _st, acc, _rec = callf(st, pool, unc, sat0, jnp.int32(0))
+        assert int(acc["frames"]) > 0
+        return np.asarray(acc["bit_errs"], np.float64)
+
+    def _stream_hw_check():
+        # NGDBFhw streaming (shared-slice ring, injection-offset
+        # qpointer0 semantics) on the chip
+        from ldpcsimulation_tpu.harness.stream_ngdbfhw import (
+            build_channel_pool_hw,
+            hw_stream_init,
+            make_hw_stream_call,
+        )
+
+        cfg = NGDBFHwConfig(num_iterations=10, ring_len=code.n + 64)
+        pool, unc, sat0 = build_channel_pool_hw(
+            code, jax.random.key(1), 0, 256, 0.5
+        )
+        st = hw_stream_init(code, cfg, 64)
+        callf = make_hw_stream_call(code, cfg, 12, 2)
+        _st, acc, _rec = callf(
+            st, pool, unc, sat0, jnp.int32(0), jax.random.key(2), 0.5
+        )
         assert int(acc["frames"]) > 0
         return np.asarray(acc["bit_errs"], np.float64)
 
