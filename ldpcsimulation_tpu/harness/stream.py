@@ -618,9 +618,7 @@ def _shard_call(impl, mesh, data_axis, record, rec_fields):
     cache = {}
 
     def call(state, pool, pool_unc, pool_sat0, base, ptr0=0, *extra):
-        sspec = jax.tree.map(
-            lambda x: P(*([None] * (x.ndim - 1) + [data_axis])), state
-        )
+        sspec = jax.tree.map(_lane_spec(data_axis), state)
         key = (
             jax.tree.structure(sspec),
             jax.tree.structure(tuple(extra)),
@@ -651,10 +649,15 @@ def _shard_call(impl, mesh, data_axis, record, rec_fields):
 
 def _lane_spec(data_axis):
     """Per-leaf PartitionSpec for lane state: batch is the LAST axis of
-    every leaf."""
+    every array leaf; scalar leaves (e.g. the NGDBFhw stream's global
+    ring counter, which advances in lockstep on every device) are
+    replicated."""
     from jax.sharding import PartitionSpec as P
 
-    return lambda x: P(*([None] * (x.ndim - 1) + [data_axis]))
+    return lambda x: (
+        P() if x.ndim == 0
+        else P(*([None] * (x.ndim - 1) + [data_axis]))
+    )
 
 
 def mesh_setup(mesh, data_axis, lanes, pool_frames, default_pool, state):

@@ -116,6 +116,8 @@ def make_hw_stream_call(
     dense: Optional[DenseGraph] = None,
     record: bool = False,
     rec_cap: int = 0,
+    mesh=None,
+    data_axis: str = "data",
 ):
     """Build the jitted persistent-state call.
 
@@ -366,10 +368,23 @@ def make_hw_stream_call(
         acc = dict(acc, consumed=ptr - ptr0, rc=rc)
         return st, acc, rec
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
+    if mesh is None:
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def call(state, pool, pool_unc, pool_sat0, base, noise_root,
+                 sigma, ptr0=0):
+            return _impl(state, pool, pool_unc, pool_sat0, base, ptr0,
+                         noise_root, sigma)
+
+        return call
+
+    inner = _stream._shard_call(
+        _impl, mesh, data_axis, record,
+        ("gid", "iters", "errs", "sat", "qp0"),
+    )
+
     def call(state, pool, pool_unc, pool_sat0, base, noise_root, sigma,
              ptr0=0):
-        return _impl(state, pool, pool_unc, pool_sat0, base, ptr0,
+        return inner(state, pool, pool_unc, pool_sat0, base, ptr0,
                      noise_root, sigma)
 
     return call
@@ -382,10 +397,11 @@ def make_hw_stream_call(
 _HW_CALL_CACHE: dict = {}
 
 
-def _cached_hw_pool(code, qc, dense, pool_frames):
+def _cached_hw_pool(code, qc, dense, pool_frames, pool_sharding=None):
     """Jitted pool builder cached across simulate invocations (base,
     root and sigma are traced args — one compile per geometry)."""
-    key = ("pool", id(code), id(qc), id(dense), pool_frames)
+    key = ("pool", id(code), id(qc), id(dense), pool_frames,
+           pool_sharding is not None and str(pool_sharding))
     if key not in _HW_CALL_CACHE:
         def pf(base_, root_, sigma_):
             return build_channel_pool_hw(
@@ -393,22 +409,34 @@ def _cached_hw_pool(code, qc, dense, pool_frames):
                 dense=dense,
             )
 
-        _HW_CALL_CACHE[key] = (jax.jit(pf), (code, qc, dense))
+        kw = {} if pool_sharding is None else dict(
+            out_shardings=pool_sharding
+        )
+        _HW_CALL_CACHE[key] = (jax.jit(pf, **kw), (code, qc, dense))
     return _HW_CALL_CACHE[key][0]
 
 
-def _cached_hw_call(code, cfg, rounds, refill_every, qc, dense):
+def _cached_hw_call(code, cfg, rounds, refill_every, qc, dense,
+                    mesh=None, data_axis="data"):
+    mkey = None
+    if mesh is not None:
+        mkey = (
+            tuple(d.id for d in mesh.devices.flat),
+            tuple(mesh.devices.shape),
+            tuple(mesh.axis_names),
+        )
     key = (
         id(code), id(qc), id(dense), rounds, refill_every,
         cfg.num_iterations, cfg.nq, cfg.max_phases, cfg.ring_len,
-        cfg.w, cfg.ymax, cfg.noise_scale, cfg.theta0,
+        cfg.w, cfg.ymax, cfg.noise_scale, cfg.theta0, mkey, data_axis,
     )
     if key not in _HW_CALL_CACHE:
         _HW_CALL_CACHE[key] = (
             make_hw_stream_call(
-                code, cfg, rounds, refill_every, qc=qc, dense=dense
+                code, cfg, rounds, refill_every, qc=qc, dense=dense,
+                mesh=mesh, data_axis=data_axis,
             ),
-            (code, qc, dense),
+            (code, qc, dense, mesh),
         )
     return _HW_CALL_CACHE[key][0]
 
@@ -429,6 +457,8 @@ def simulate_stream_ngdbfhw(
     dense: Optional[DenseGraph] = None,
     verbose: bool = False,
     max_calls: int = 100000,
+    mesh=None,
+    data_axis: str = "data",
 ) -> MCStats:
     """Monte-Carlo loop for NGDBFhw over the streaming driver.
 
@@ -447,6 +477,7 @@ def simulate_stream_ngdbfhw(
     kch, kdec = jax.random.split(root)
     # a frame's expected executed updates = avg over ALL phases
     iters_per_call = rounds_per_call * refill_every
+    _default_pool = pool_frames is None
     if pool_frames is None:
         pool_frames = lanes + int(
             lanes * iters_per_call / max(avg_iters_hint, 1.0)
@@ -454,10 +485,19 @@ def simulate_stream_ngdbfhw(
     T = cfg.num_iterations
 
     state = hw_stream_init(code, cfg, lanes)
+    nd = 1
+    pool_sharding = None
+    if mesh is not None:
+        nd, pool_frames, state, pool_sharding = _stream.mesh_setup(
+            mesh, data_axis, lanes, pool_frames, _default_pool, state
+        )
     call = _cached_hw_call(
-        code, cfg, rounds_per_call, refill_every, qc, dense
+        code, cfg, rounds_per_call, refill_every, qc, dense,
+        mesh=mesh, data_axis=data_axis,
     )
-    _pool = _cached_hw_pool(code, qc, dense, pool_frames)
+    _pool = _cached_hw_pool(
+        code, qc, dense, pool_frames, pool_sharding
+    )
 
     def pool_fn(base_, root_):
         return _pool(base_, root_, sigma)
@@ -498,12 +538,12 @@ def simulate_stream_ngdbfhw(
         )
         a = jax.device_get(acc)
         take(a)
-        base += int(a["consumed"])
+        base += pool_frames if mesh is not None else int(a["consumed"])
         if verbose:
             print(stats.incremental_report())
     if pool is not None:
         state = _stream.run_drain(
-            call, state, (pool, unc, sat0), base, int(pool.shape[0]),
+            call, state, (pool, unc, sat0), base, pool_frames // nd,
             take, cfg.max_phases * T, iters_per_call,
             extra=(kdec, sigma),
         )

@@ -131,6 +131,58 @@ def test_hw_stream_matches_batch_multiphase():
     assert multi > 0
 
 
+def test_sharded_hw_stream_matches_batch():
+    """Mesh-sharded NGDBFhw stream (8 virtual devices): per-frame
+    (iters, errs, sat) equality via each frame's recorded ring offset —
+    the gstep scalar is replicated (devices advance it in lockstep)."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from ldpcsimulation_tpu.harness.stream import _lane_spec
+
+    mesh = Mesh(np.array(jax.devices()), ("data",))
+    nd = mesh.shape["data"]
+    cfg = NGDBFHwConfig(num_iterations=12, ring_len=CODE.n + 40)
+    F, lanes, rec_cap = 256, 64, 512
+    call = make_hw_stream_call(
+        CODE, cfg, rounds=24, refill_every=2, record=True,
+        rec_cap=rec_cap, mesh=mesh,
+    )
+    spec = _lane_spec("data")
+    state = hw_stream_init(CODE, cfg, lanes)
+    state = jax.device_put(
+        state,
+        jax.tree.map(lambda x: NamedSharding(mesh, spec(x)), state),
+    )
+    shard_rows = NamedSharding(mesh, P("data"))
+    pool_fn = jax.jit(
+        lambda b: build_channel_pool_hw(CODE, KCH, b, F, SIGMA),
+        out_shardings=(shard_rows, shard_rows, shard_rows),
+    )
+    per_frame = {}
+    base = 0
+    for _ci in range(2):
+        pool, unc, sat0 = pool_fn(jnp.int32(base))
+        state, acc, rec = call(
+            state, pool, unc, sat0, base, KDEC, SIGMA
+        )
+        r = jax.device_get(rec)
+        seg = rec_cap + 1
+        for d_i in range(nd):
+            rc_d = int(r["rc_local"][d_i])
+            for g, it, er, st_, qp in zip(
+                r["gid"][d_i * seg:d_i * seg + rc_d],
+                r["iters"][d_i * seg:d_i * seg + rc_d],
+                r["errs"][d_i * seg:d_i * seg + rc_d],
+                r["sat"][d_i * seg:d_i * seg + rc_d],
+                r["qp0"][d_i * seg:d_i * seg + rc_d],
+            ):
+                assert int(g) not in per_frame
+                per_frame[int(g)] = (int(it), int(er), bool(st_), int(qp))
+        base += F
+    assert len(per_frame) >= 150
+    for g, (it, er, sat, qp0) in list(per_frame.items())[:64]:
+        assert batched_truth(cfg, g, qp0) == (it, er, sat), g
+
+
 def test_sweep_stream_cli_ngdbfhw(tmp_path):
     """CLI route: ngdbfhw --stream produces a reference-format row and
     rejects the --persistent-qpointer combination."""
