@@ -45,6 +45,9 @@ __all__ = [
     "stratified_to_cn",
     "stratified_to_vn",
     "stratified_check_satisfied",
+    "stratified_grid",
+    "stratified_init",
+    "stratified_minsum_step",
 ]
 
 _HI = jax.lax.Precision.HIGHEST
@@ -204,17 +207,20 @@ def stratified_minsum_step(sc: StratifiedCode, variant="plain", alpha=1.0,
     vnv = sc.vn_valid[..., None]
 
     def step(v2c, yg):
-        cdt = jnp.promote_types(yg.dtype, jnp.float32)
+        # the VN fold runs in the CHANNEL-GRID dtype, exactly like the
+        # generic decoder's vn_update (bit-exact equivalence contract;
+        # f16 grids fold in f16) — the stream adapter upcasts its pool
+        # rows to f32 before this step, so both drivers agree
         v2c_cn = stratified_to_cn(sc, v2c)
         c2v_cn = _cn_minsum(sc, v2c_cn, variant, alpha, delta)
-        c2v = stratified_to_vn(sc, c2v_cn).astype(cdt)
+        c2v = stratified_to_vn(sc, c2v_cn).astype(yg.dtype)
         c2v = jnp.where(vnv, c2v, 0.0)
         # messages (strata) left-fold first, channel term last — the
         # generic decoder's exact grouping (minsum.vn_update)
         acc = c2v[0]
         for s in range(1, sc.mb):
             acc = acc + c2v[s]
-        total = yg.astype(cdt) + acc
+        total = yg + acc
         sdt = storage_dtype if storage_dtype is not None else yg.dtype
         v2c_new = jnp.where(vnv, storage_cast(total[None] - c2v, sdt),
                             jnp.zeros((), sdt))

@@ -82,7 +82,10 @@ def hw_stream_init(code: Code, cfg: NGDBFHwConfig, lanes: int):
         idle=jnp.ones((lanes,), bool),
         unc=jnp.zeros((lanes,), jnp.int32),
         gid=jnp.full((lanes,), -1, jnp.int32),
-        gstep=jnp.int32(0),
+        # per-lane copies of the shared ring counter (all equal WITHIN a
+        # device): a replicated scalar would be wrong under a mesh, where
+        # each device's round loop can exit early independently
+        gstep=jnp.zeros((lanes,), jnp.int32),
     )
 
 
@@ -216,7 +219,7 @@ def make_hw_stream_call(
             trans[None, :], st["ssum_init"], satsum(syn)
         )
         qvals = jax.lax.dynamic_slice_in_dim(
-            st["ring"], st["gstep"] % ring_mod, n, axis=0
+            st["ring"], st["gstep"][0] % ring_mod, n, axis=0
         )
         e = (1 - 2 * d_used) * st["yint"] + ssum_used * smult + qvals
         flip = e <= theta
@@ -307,7 +310,7 @@ def make_hw_stream_call(
                 can, jnp.where(sat0, unc_new, n), st["least_errs"]
             ),
             exit_sat=jnp.where(can, sat0, st["exit_sat"]),
-            qp0=jnp.where(can, st["gstep"] % ring_mod, st["qp0"]),
+            qp0=jnp.where(can, st["gstep"][0] % ring_mod, st["qp0"]),
             done=jnp.where(can, sat0, st["done"]) | (want & ~can),
             idle=want & ~can,
             unc=jnp.where(can, unc_new, st["unc"]),
@@ -526,6 +529,12 @@ def simulate_stream_ngdbfhw(
         if stop.done(stats.errors, stats.word_errors, stats.total_words):
             break
         if base > _stream._GID_LIMIT - pool_frames:
+            # rotate the CHANNEL root before int32 gid overflow; the
+            # ring root (kdec) stays fixed, so rotation r reuses
+            # rotation 0's decoder-noise rings gid-for-gid against FRESH
+            # channel realizations — valid Monte-Carlo (the ring is
+            # decoder-internal noise, which the reference itself reuses
+            # structurally), and in-flight frames keep their streams
             rotation += 1
             kch = jax.random.fold_in(
                 jax.random.split(jax.random.key(seed))[0],

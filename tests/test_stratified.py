@@ -134,6 +134,25 @@ def test_f16_deep_run_no_overflow_garbage(ref_802_3):
     assert err16 <= max(4 * err32, err32 + 64), (err16, err32)
 
 
+def test_f16_channel_input_bit_exact_vs_generic(ref_802_3):
+    """f16 CHANNEL inputs (storage None): the VN fold must run in the
+    channel dtype exactly like the generic decoder (the round-4 step
+    factoring briefly forced f32 — review regression guard)."""
+    _alist, code, sc = ref_802_3
+    rng = np.random.default_rng(5)
+    y16 = (1.0 + 0.4755 * rng.standard_normal((128, code.n))).astype(
+        np.float16
+    )
+    r_gen = decode_minsum(code, jnp.asarray(y16), 8)
+    r_str = decode_minsum_stratified(sc, jnp.asarray(y16), 8)
+    np.testing.assert_array_equal(
+        np.asarray(r_gen.hard), np.asarray(r_str.hard)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(r_gen.iterations), np.asarray(r_str.iterations)
+    )
+
+
 def test_check_satisfied_matches_generic(ref_802_3, rng):
     from ldpcsimulation_tpu.decoders.base import check_satisfied
 
