@@ -824,7 +824,10 @@ def test_rsmngdbf_matches_reference(ref_gdbf_family, tmp_path):
         lambda yq, key: decode_gdbf(code, yq, sigma, cfg, key=key),
         snr_db=snr,
         rate=0.5,
-        stop=StopRule.fixed_frames(2048),
+        # 6144 frames: at FER ~2-3% the 2048-frame estimate's own MC
+        # spread (fixed by seed) occasionally pushed the ratio past the
+        # 1.8x bound against the reference's ~200-error stop runs
+        stop=StopRule.fixed_frames(6144),
         batch_size=512,
         preprocess=lambda y: saturate(y, 2.5),
         seed=4242,
