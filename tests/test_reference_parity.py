@@ -755,7 +755,10 @@ def test_gdbf_family_matches_reference(case, ref_gdbf_family, tmp_path):
         pre = lambda y: quantize_round(
             saturate(y, pre_spec[1]), pre_spec[1], pre_spec[2]
         )
-    frames = 4096 if name == "UniformMNGDBF" else 1024
+    # 4096 frames everywhere: at 1024 the our-side avg-iterations
+    # estimate wobbled enough for a measured hair's-width bound miss
+    # (SMGDBF ratio 0.8197 vs the 0.82 bound, 1-in-10 suite runs)
+    frames = 4096
     stats = simulate(
         code,
         lambda yq, key: decode_gdbf(code, yq, sigma, cfg, key=key),
