@@ -24,54 +24,35 @@ import jax
 import jax.numpy as jnp
 
 from ..codes.qc import QCCode
-from .base import DecodeResult, run_flooding, sgn_pos, vma_like
+from .base import DecodeResult, run_flooding, sgn_pos
 from .bp import MAXLLR, pair_excl_logmags
+from .minsum_layered import layered_l0
 from .minsum_qc import (
     assert_layered_compatible,
     qc_check_satisfied,
     qc_slot_plan,
 )
 
-__all__ = ["decode_bp_layered_qc"]
+__all__ = ["decode_bp_layered_qc", "qc_bp_layered_step"]
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("qc", "num_iterations", "early_termination"),
-)
-def decode_bp_layered_qc(
-    qc: QCCode,
-    llr: jax.Array,
-    num_iterations: int,
-    max_llr: float = MAXLLR,
-    early_termination: bool = False,
-) -> DecodeResult:
-    """Batched row-layered sum-product on a QC code.  llr: [B, N].
-
-    Generalized QC structures follow minsum_layered's rules: minus edges
-    contribute the phi-neutral (+inf in, magnitude 0 / sign +1) and leave
-    their column untouched; multi-edge pairs use the block-parallel
-    accumulate ``(a1 - q) + a2``."""
-    llr_t = jnp.asarray(llr).T
-    n, b = llr_t.shape
-    assert n == qc.n
-    z = qc.z
-    dtype = llr_t.dtype
-    # Per-block pytree state (tuples of [z, B] / [dc, z, B] arrays) —
-    # same rationale as minsum_layered: interleaved `.at[].set`s on
-    # stacked buffers made XLA materialize full-posterior copies per
-    # layer.
-    q0 = tuple(llr_t.reshape(qc.nb, z, b))
+def qc_bp_layered_step(qc: QCCode, max_llr: float = MAXLLR):
+    """The :func:`decode_bp_layered_qc` iteration as a pure function of
+    the layered state: ``step((q, L)) -> ((q', L'), total)`` with
+    ``total`` the stacked ``[Nb, z, B]`` posterior.  One call = one full
+    pass over all Mb layers.  Identical operations (bit-identical
+    results) to the closure inside :func:`decode_bp_layered_qc` —
+    factored out so the streaming refill harness shares one definition
+    with the batch decoder."""
     cn_plan, _ = qc_slot_plan(qc)
-    # vma-typed zeros: the ET while_loop carry must match under shard_map
-    l0 = tuple(
-        vma_like(jnp.zeros((len(cn_plan[bi]), z, b), dtype), llr_t)
-        for bi in range(qc.mb)
-    )
-    inf = jnp.asarray(jnp.inf, dtype)
     assert_layered_compatible(qc)
+    z = qc.z
 
-    def one_iteration(q, L):
+    def step(qL):
+        q, L = qL
+        dtype = q[0].dtype
+        inf = jnp.asarray(jnp.inf, dtype)
+        b = q[0].shape[-1]
         q = list(q)
         L = list(L)
         for bi in range(qc.mb):
@@ -126,7 +107,42 @@ def decode_bp_layered_qc(
                     q[e.bj] = posts[t]
                     t += 1
             L[bi] = jnp.stack(new_rows)
-        return tuple(q), tuple(L)
+        q = tuple(q)
+        return (q, tuple(L)), jnp.stack(q)
+
+    return step
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("qc", "num_iterations", "early_termination"),
+)
+def decode_bp_layered_qc(
+    qc: QCCode,
+    llr: jax.Array,
+    num_iterations: int,
+    max_llr: float = MAXLLR,
+    early_termination: bool = False,
+) -> DecodeResult:
+    """Batched row-layered sum-product on a QC code.  llr: [B, N].
+
+    Generalized QC structures follow minsum_layered's rules: minus edges
+    contribute the phi-neutral (+inf in, magnitude 0 / sign +1) and leave
+    their column untouched; multi-edge pairs use the block-parallel
+    accumulate ``(a1 - q) + a2``."""
+    llr_t = jnp.asarray(llr).T
+    n, b = llr_t.shape
+    assert n == qc.n
+    z = qc.z
+    dtype = llr_t.dtype
+    # Per-block pytree state (tuples of [z, B] / [dc, z, B] arrays) —
+    # same rationale as minsum_layered: interleaved `.at[].set`s on
+    # stacked buffers made XLA materialize full-posterior copies per
+    # layer.
+    q0 = tuple(llr_t.reshape(qc.nb, z, b))
+    # vma-typed zeros: the ET while_loop carry must match under shard_map
+    l0 = layered_l0(qc, b, dtype, llr_t)
+    step = qc_bp_layered_step(qc, max_llr)
 
     def decide(q):
         return tuple(
@@ -135,7 +151,7 @@ def decode_bp_layered_qc(
 
     d, iters, done = run_flooding(
         (q0, l0),
-        lambda st: one_iteration(*st),
+        lambda st: step(st)[0],
         lambda st: decide(st[0]),
         lambda d: qc_check_satisfied(qc, d),
         num_iterations, early_termination, b,

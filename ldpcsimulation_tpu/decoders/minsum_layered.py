@@ -57,55 +57,48 @@ from .minsum_qc import (
     qc_slot_plan,
 )
 
-__all__ = ["decode_minsum_layered_qc"]
+__all__ = ["decode_minsum_layered_qc", "qc_minsum_layered_step",
+           "layered_l0"]
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "qc",
-        "num_iterations",
-        "variant",
-        "early_termination",
-        "storage_dtype",
-    ),
-)
-def decode_minsum_layered_qc(
+def layered_l0(qc: QCCode, b: int, sdt, ref):
+    """Zero-initialized stored check messages, one [dc_bi, z, B] leaf per
+    layer (vma-typed off ``ref`` so ET while_loop carries match under
+    shard_map — see base.vma_like)."""
+    cn_plan, _ = qc_slot_plan(qc)
+    return tuple(
+        vma_like(jnp.zeros((len(cn_plan[bi]), qc.z, b), sdt), ref)
+        for bi in range(qc.mb)
+    )
+
+
+def qc_minsum_layered_step(
     qc: QCCode,
-    y: jax.Array,
-    num_iterations: int,
     variant: str = "plain",
     alpha: float = 1.0,
     delta: float = 0.0,
-    early_termination: bool = False,
     storage_dtype=None,
-) -> DecodeResult:
-    """Batched row-layered min-sum on a QC code.  y: [B, N]."""
-    y_t = jnp.asarray(y).T
-    n, b = y_t.shape
-    assert n == qc.n
-    z = qc.z
-    dtype = y_t.dtype
-    sdt = storage_dtype if storage_dtype is not None else dtype
-    # The posterior and the stored check messages are carried as PYTREE
-    # TUPLES of per-block arrays, not stacked buffers: a layer update then
-    # rebinds only the [z, B] blocks it touches (pure SSA values), where a
-    # stacked q with 90 interleaved `.at[bj].set`s made XLA materialize
-    # full-posterior copies — measured 170 ms/iteration on DVB-S2 at
-    # B=2048, ~26x the actual per-layer traffic (docs/PERF.md).
-    q0 = tuple(y_t.reshape(qc.nb, z, b))
+):
+    """The :func:`decode_minsum_layered_qc` iteration as a pure function
+    of the layered state: ``step((q, L)) -> ((q', L'), total)`` with
+    ``q`` the per-VN-block posterior tuple, ``L`` the per-layer stored
+    check messages, and ``total`` the stacked ``[Nb, z, B]`` posterior
+    (decisions are its sign).  One call = one full pass over all Mb
+    layers.  Identical operations (and therefore bit-identical results)
+    to the closure inside :func:`decode_minsum_layered_qc` — factored
+    out so the streaming refill harness (:mod:`...harness.stream`)
+    shares one definition with the batch decoder.
+    """
     cn_plan, _ = qc_slot_plan(qc)
-    # stored messages per layer: [dc_bi, z, B] (exact row degree, no pad);
-    # vma-typed from the input so the early-termination while_loop carry
-    # matches under shard_map (see base.vma_like)
-    l0 = tuple(
-        vma_like(jnp.zeros((len(cn_plan[bi]), z, b), sdt), y_t)
-        for bi in range(qc.mb)
-    )
-    inf = jnp.asarray(jnp.inf, dtype)
     assert_layered_compatible(qc)
+    z = qc.z
 
-    def one_iteration(q, L):
+    def step(qL):
+        q, L = qL
+        dtype = q[0].dtype
+        sdt = storage_dtype if storage_dtype is not None else dtype
+        inf = jnp.asarray(jnp.inf, dtype)
+        b = q[0].shape[-1]
         q = list(q)
         L = list(L)
         for bi in range(qc.mb):
@@ -171,7 +164,51 @@ def decode_minsum_layered_qc(
                     q[e.bj] = posts[t]
                     t += 1
             L[bi] = jnp.stack(new_rows)
-        return tuple(q), tuple(L)
+        q = tuple(q)
+        return (q, tuple(L)), jnp.stack(q)
+
+    return step
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "qc",
+        "num_iterations",
+        "variant",
+        "early_termination",
+        "storage_dtype",
+    ),
+)
+def decode_minsum_layered_qc(
+    qc: QCCode,
+    y: jax.Array,
+    num_iterations: int,
+    variant: str = "plain",
+    alpha: float = 1.0,
+    delta: float = 0.0,
+    early_termination: bool = False,
+    storage_dtype=None,
+) -> DecodeResult:
+    """Batched row-layered min-sum on a QC code.  y: [B, N]."""
+    y_t = jnp.asarray(y).T
+    n, b = y_t.shape
+    assert n == qc.n
+    z = qc.z
+    dtype = y_t.dtype
+    sdt = storage_dtype if storage_dtype is not None else dtype
+    # The posterior and the stored check messages are carried as PYTREE
+    # TUPLES of per-block arrays, not stacked buffers: a layer update then
+    # rebinds only the [z, B] blocks it touches (pure SSA values), where a
+    # stacked q with 90 interleaved `.at[bj].set`s made XLA materialize
+    # full-posterior copies — measured 170 ms/iteration on DVB-S2 at
+    # B=2048, ~26x the actual per-layer traffic (docs/PERF.md).
+    q0 = tuple(y_t.reshape(qc.nb, z, b))
+    # stored messages per layer: [dc_bi, z, B] (exact row degree, no pad);
+    # vma-typed from the input so the early-termination while_loop carry
+    # matches under shard_map (see base.vma_like)
+    l0 = layered_l0(qc, b, sdt, y_t)
+    step = qc_minsum_layered_step(qc, variant, alpha, delta, storage_dtype)
 
     def decide(q):
         return tuple(
@@ -180,7 +217,7 @@ def decode_minsum_layered_qc(
 
     d, iters, done = run_flooding(
         (q0, l0),
-        lambda st: one_iteration(*st),
+        lambda st: step(st)[0],
         lambda st: decide(st[0]),
         lambda d: qc_check_satisfied(qc, d),
         num_iterations, early_termination, b,

@@ -31,7 +31,8 @@ only the int8 decision carry is masked; a satisfied frame's message state
 evolves freely until its lane is refilled.
 
 Scope: deterministic decoders (min-sum variants and BP — generic
-slot-array, QC, and stratified-fallback paths —, DD-BMP on the QC path,
+slot-array, QC, stratified-fallback, and row-LAYERED QC paths (one
+stream iteration = one full layer sweep) —, DD-BMP on the QC path,
 non-binary QSPA); the GDBF family streams through :mod:`.stream_gdbf`
 (per-(frame, step) noise keying) and the fixed-point NGDBFhw through
 :mod:`.stream_ngdbfhw` (per-frame noise rings, shared-slice pointer).
@@ -59,6 +60,8 @@ __all__ = [
     "minsum_stream",
     "minsum_stratified_stream",
     "bp_stratified_stream",
+    "minsum_layered_qc_stream",
+    "bp_layered_qc_stream",
     "ddbmp_qc_stream",
     "stream_init",
     "make_stream_call",
@@ -290,6 +293,83 @@ def bp_stratified_stream(
         step=_upcast_step(stratified_bp_step(sc, ml, storage_dtype)),
         satisfied=lambda d: stratified_check_satisfied(sc, d),
         hard=hard,
+    )
+
+
+def minsum_layered_qc_stream(
+    qc: QCCode,
+    variant: str = "plain",
+    alpha: float = 1.0,
+    delta: float = 0.0,
+    storage_dtype=None,
+) -> StreamDecoder:
+    """Stream adapter for
+    :func:`..decoders.minsum_layered.decode_minsum_layered_qc` (same
+    step function object — bit-identical arithmetic).  One stream
+    iteration = one full layer sweep over all Mb base rows, so the
+    iteration count keeps the batched layered decoder's definition.
+    The layered state is (posterior tuple q, per-layer stored messages
+    L); the channel term lives inside q, so refill re-initialization is
+    q := ych, L := 0 and the step ignores ych.  An f16 pool's rows are
+    upcast exactly at init — the posterior is carried at f32 like the
+    batch decoder's."""
+    from ..decoders.minsum_layered import (
+        layered_l0,
+        qc_minsum_layered_step,
+    )
+    from ..decoders.minsum_qc import qc_check_satisfied
+
+    step = qc_minsum_layered_step(qc, variant, alpha, delta, storage_dtype)
+
+    def prep(rows):
+        return rows.T.reshape(qc.nb, qc.z, -1)
+
+    def init(ych):
+        dt = jnp.promote_types(ych.dtype, jnp.float32)
+        q = tuple(ych.astype(dt))
+        sdt = storage_dtype if storage_dtype is not None else dt
+        return (q, layered_l0(qc, ych.shape[-1], sdt, q[0]))
+
+    return StreamDecoder(
+        prep=prep,
+        init=init,
+        step=lambda qL, ych: step(qL),
+        satisfied=lambda d: qc_check_satisfied(qc, d),
+        hard=lambda d: d.reshape(qc.n, -1),
+    )
+
+
+def bp_layered_qc_stream(
+    qc: QCCode, max_llr: Optional[float] = None
+) -> StreamDecoder:
+    """Stream adapter for
+    :func:`..decoders.bp_layered.decode_bp_layered_qc` (same step
+    function object — bit-identical arithmetic).  Pool rows must be
+    LLRs (``preprocess=llr_from_channel``); the batch decoder carries
+    the UNclamped posterior (clamping only check-node input copies), so
+    ``prep`` applies no clamp."""
+    from ..decoders.bp import MAXLLR
+    from ..decoders.bp_layered import qc_bp_layered_step
+    from ..decoders.minsum_layered import layered_l0
+    from ..decoders.minsum_qc import qc_check_satisfied
+
+    ml = MAXLLR if max_llr is None else max_llr
+    step = qc_bp_layered_step(qc, ml)
+
+    def prep(rows):
+        return rows.T.reshape(qc.nb, qc.z, -1)
+
+    def init(ych):
+        dt = jnp.promote_types(ych.dtype, jnp.float32)
+        q = tuple(ych.astype(dt))
+        return (q, layered_l0(qc, ych.shape[-1], dt, q[0]))
+
+    return StreamDecoder(
+        prep=prep,
+        init=init,
+        step=lambda qL, ych: step(qL),
+        satisfied=lambda d: qc_check_satisfied(qc, d),
+        hard=lambda d: d.reshape(qc.n, -1),
     )
 
 

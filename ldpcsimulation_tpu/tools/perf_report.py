@@ -394,6 +394,29 @@ def main(argv: Optional[List[str]] = None) -> int:
         bytes_per_frame_iter=msg_bytes(3024, qc.n, storage=2),
     )
 
+    # REAL DVB-S2 layered + ET + STREAM (round 5, VERDICT r4 item 3):
+    # layered T<=20 matches flooding T<=40 FER at 1.6 dB at ~half the
+    # iteration count (docs/CONFIGS.md "layered halves the iteration
+    # budget"), and the stream removes the ET straggler tax — measured
+    # against the flooding-stream equivalent at the same operating point.
+    from ..harness.stream import minsum_layered_qc_stream
+
+    sigma16 = float(snr_to_sigma(1.6, 0.5))
+    record_stream(
+        "layered min-sum T<=20 ET REAL DVB-S2 @1.6dB, STREAM refill (K=2)",
+        minsum_layered_qc_stream(dvb, storage_dtype=jnp.float16), None,
+        1024, 2, 16, 20, 12.0, 32400, dvb.n,
+        bytes_per_frame_iter=msg_bytes(e_dvb, dvb.n, storage=2, ndirs=2),
+        sigma_=sigma16,
+    )
+    record_stream(
+        "min-sum T<=40 ET REAL DVB-S2 @1.6dB, STREAM refill (K=2)",
+        minsum_qc_stream(dvb, storage_dtype=jnp.float16), None,
+        1024, 2, 16, 40, 25.0, 32400, dvb.n,
+        bytes_per_frame_iter=msg_bytes(e_dvb, dvb.n, storage=2),
+        sigma_=sigma16,
+    )
+
     # BP fixed T=10 (reference semantics: no early exit, decodeBP.cpp:206)
     # — the apples-to-apples row against min-sum T=10
     step, frames = mega(8192, 4, lambda k, b: jnp.sum(

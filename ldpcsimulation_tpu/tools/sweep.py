@@ -125,8 +125,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--early-termination", action="store_true")
     p.add_argument(
         "--stream", action="store_true",
-        help="min-sum/BP (with --early-termination; QC or stratified "
-             "codes), gdbf, nbqspa, ddbmp, ngdbfhw: run "
+        help="min-sum/BP (with --early-termination; QC, stratified, or "
+             "--schedule layered QC codes), gdbf, nbqspa, ddbmp, ngdbfhw: run "
              "the streaming refill harness (persistent lanes + "
              "per-frame-keyed channel pool) instead of the batched masked "
              "loop — same per-frame statistics (bit-exact, "
@@ -344,12 +344,19 @@ def main(argv: Optional[List[str]] = None) -> int:
             raise SystemExit(
                 "sweep: error: --stream simulates all-zero codewords"
             )
-        if args.distributed or args.schedule == "layered":
+        if args.distributed:
             raise SystemExit(
-                "sweep: error: --stream uses the flooding schedule and "
-                "the CLI runs it on one device; --distributed is the "
-                "batched operating-point grid engine (the library API "
-                "shards a stream over a mesh: simulate_stream(mesh=...))"
+                "sweep: error: --stream runs on one device in the CLI; "
+                "--distributed is the batched operating-point grid "
+                "engine (the library API shards a stream over a mesh: "
+                "simulate_stream(mesh=...))"
+            )
+        if args.schedule == "layered" and args.decoder not in (
+            "minsum", "offsetminsum", "normalizedminsum", "bp",
+        ):
+            raise SystemExit(
+                "sweep: error: --schedule layered streams min-sum "
+                "variants and BP only"
             )
 
     def run_stream_point(snr, sdec, preprocess=None):
@@ -452,11 +459,14 @@ def main(argv: Optional[List[str]] = None) -> int:
                 )
             if args.stream:
                 from ..harness.stream import (
+                    bp_layered_qc_stream,
                     bp_qc_stream,
                     bp_stratified_stream,
                 )
 
-                if qc is not None:
+                if args.schedule == "layered":
+                    sdec = bp_layered_qc_stream(qc)
+                elif qc is not None:
                     sdec = bp_qc_stream(qc, storage_dtype=sdt)
                 elif strat is not None:
                     sdec = bp_stratified_stream(strat, storage_dtype=sdt)
@@ -531,12 +541,20 @@ def main(argv: Optional[List[str]] = None) -> int:
                 )
             if args.stream:
                 from ..harness.stream import (
+                    minsum_layered_qc_stream,
                     minsum_qc_stream,
                     minsum_stratified_stream,
                     minsum_stream,
                 )
 
-                if qc is not None:
+                if args.schedule == "layered":
+                    sdec = minsum_layered_qc_stream(
+                        qc, variant=variant,
+                        alpha=alpha if alpha is not None else 1.0,
+                        delta=delta if delta is not None else 0.0,
+                        storage_dtype=sdt,
+                    )
+                elif qc is not None:
                     sdec = minsum_qc_stream(
                         qc, variant=variant,
                         alpha=alpha if alpha is not None else 1.0,

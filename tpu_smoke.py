@@ -96,6 +96,7 @@ def main() -> int:
             fromlist=["decode_ddbmp_stratified"],
         ).decode_ddbmp_stratified(sc, ys, 10).hard),
         ("minsum stream refill", lambda: _stream_check()),
+        ("layered stream refill", lambda: _stream_layered_check()),
         ("gdbf stream refill", lambda: _stream_gdbf_check()),
         ("ddbmp stream refill", lambda: _stream_ddbmp_check()),
         ("stratified stream refill", lambda: _stream_strat_check()),
@@ -158,6 +159,27 @@ def main() -> int:
         )
 
         sdec = minsum_qc_stream(qc, storage_dtype=jnp.float16)
+        pool, unc, sat0 = build_channel_pool(
+            sdec, jax.random.key(1), 0, 256, qc.n, 0.7,
+            pool_dtype=jnp.float16,
+        )
+        st = stream_init(sdec, 64, qc.n, jnp.float16)
+        callf = make_stream_call(sdec, qc.n, 8, 12, 2)
+        _st, acc, _rec = callf(st, pool, unc, sat0, jnp.int32(0))
+        assert int(acc["frames"]) > 0
+        return np.asarray(acc["bit_errs"], np.float64)
+
+    def _stream_layered_check():
+        # row-layered min-sum streaming (one stream iteration = one full
+        # layer sweep) on the chip, f16 pool
+        from ldpcsimulation_tpu.harness.stream import (
+            build_channel_pool,
+            make_stream_call,
+            minsum_layered_qc_stream,
+            stream_init,
+        )
+
+        sdec = minsum_layered_qc_stream(qc, storage_dtype=jnp.float16)
         pool, unc, sat0 = build_channel_pool(
             sdec, jax.random.key(1), 0, 256, qc.n, 0.7,
             pool_dtype=jnp.float16,
