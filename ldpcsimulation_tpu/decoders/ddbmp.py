@@ -121,6 +121,12 @@ def qc_ddbmp_round(qc, cn_plan, vn_plan, mem, yb):
     mem: [nb, dv_max, z, B] accumulator memories; yb: [nb, z, B] channel.
     Shared verbatim by :func:`decode_ddbmp_qc` and the streaming adapter
     (harness/stream.py ``ddbmp_qc_stream``) so the two cannot drift.
+
+    ``d`` is emitted as INT8 (values ±1; round-5 item: the decision
+    latch + per-round syndrome pass move [nb, z, B] planes every
+    iteration, and int8 quarters that traffic — the ablation measured
+    the int32 planes at ~0.75 ms/iter of recoverable cost at 4096
+    lanes).  Decisions are sign bits, so the narrowing is exact.
     """
     z = qc.z
     dv_max = qc.dv_max
@@ -182,7 +188,7 @@ def qc_ddbmp_round(qc, cn_plan, vn_plan, mem, yb):
         for o in outs[1:]:
             osum = osum + o
         dsums.append(sign_y[bj] + osum)
-    d = jnp.where(jnp.stack(dsums) > 0, 1, -1).astype(jnp.int32)
+    d = jnp.where(jnp.stack(dsums) > 0, 1, -1).astype(jnp.int8)
     return jnp.stack(planes), d
 
 
@@ -210,7 +216,9 @@ def decode_ddbmp_qc(
     mem0 = jnp.broadcast_to(
         yb[:, None], (qc.nb, qc.dv_max, qc.z, b)
     ).astype(y_t.dtype)
-    d0 = jnp.where(yb > 0, 1, -1).astype(jnp.int32)
+    # int8 decision planes (values ±1): the latch + syndrome pass touch
+    # [nb, z, B] every round — 4x less traffic than int32, exact
+    d0 = jnp.where(yb > 0, 1, -1).astype(jnp.int8)
 
     def one_round(mem):
         return qc_ddbmp_round(qc, cn_plan, vn_plan, mem, yb)
@@ -242,8 +250,8 @@ def decode_ddbmp_qc(
         return (t + 1, mem_new, d, iters, done)
 
     _t, _mem, d, iters, done = jax.lax.while_loop(cond, body, init)
-    return DecodeResult(hard=d.reshape(n, b).T, iterations=iters,
-                        satisfied=done)
+    return DecodeResult(hard=d.reshape(n, b).T.astype(jnp.int32),
+                        iterations=iters, satisfied=done)
 
 
 @functools.partial(jax.jit, static_argnames=("num_iterations",))

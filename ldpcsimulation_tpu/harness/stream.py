@@ -64,6 +64,8 @@ __all__ = [
     "bp_layered_qc_stream",
     "ddbmp_qc_stream",
     "stream_init",
+    "pool_policy",
+    "DEFAULT_POOL_BYTES",
     "make_stream_call",
     "build_channel_pool",
     "run_drain",
@@ -403,7 +405,10 @@ def ddbmp_qc_stream(qc: QCCode) -> StreamDecoder:
         ),
         satisfied=lambda d: qc_check_satisfied(qc, d),
         hard=lambda d: d.reshape(qc.n, -1),
-        d_of=lambda t: jnp.asarray(t).astype(jnp.int32),
+        # the round emits int8 ±1 decision planes (see qc_ddbmp_round);
+        # keep the lane carry at int8 too (the latch merge + syndrome
+        # move these planes every iterate)
+        d_of=lambda t: jnp.asarray(t).astype(jnp.int8),
         check_at_injection=False,
         break_index=True,
     )
@@ -766,6 +771,57 @@ def mesh_setup(mesh, data_axis, lanes, pool_frames, default_pool, state):
     return nd, pool_frames, state, (rows, rows, rows)
 
 
+#: Default channel-pool byte budget (per simulate_stream* driver call).
+#: Sized so the deep-FER geometries (lanes 16k, avg ~3 iterations) keep
+#: long on-device calls (measured: a 256 MiB budget shrank the 4.4 dB
+#: BP run's calls to 20 iterations and cost ~1/3 of its throughput;
+#: 1 GiB sustains ~90-iteration calls at ~95% of the unbudgeted rate)
+#: while fitting comfortably next to the lane state in the v5e's 16 GB
+#: HBM; override per run with ``pool_bytes=``.
+DEFAULT_POOL_BYTES = 2**30
+
+
+def pool_policy(
+    lanes: int,
+    refill_every: int,
+    rounds_per_call,
+    avg_iters_hint: float,
+    row_bytes: int,
+    pool_bytes=None,
+    default_rounds: int = 64,
+):
+    """Derive ``(rounds_per_call, pool_frames)`` under a pool byte budget.
+
+    The hint-based sizing wants ``lanes × iters_per_call / avg`` rows per
+    call — at low average iterations (deep-FER operating points, avg ~3)
+    that is GIGABYTES, and round 4 pushed a manual "cap rounds_per_call"
+    workaround (docs/DESIGN.md).  This policy budgets pool BYTES instead:
+
+      * ``rounds_per_call=None`` (auto): start from the driver's default
+        round count and SHRINK it until the expected per-call consumption
+        fits ``pool_bytes`` — smaller calls, same statistics (the counted
+        frame set depends only on gid order + stop rule, never on call
+        geometry; tests pin this).
+      * explicit ``rounds_per_call``: honored; only the pool is capped
+        (undersized pools idle lanes at the call tail — correct, slower).
+
+    The pool is never sized below 2 lane widths (a refill boundary must
+    be able to fill every lane), so the byte cap is best-effort at
+    pathological budgets.  Returns (rounds_per_call, pool_frames).
+    """
+    if pool_bytes is None:
+        pool_bytes = DEFAULT_POOL_BYTES
+    auto = rounds_per_call is None
+    r = default_rounds if auto else rounds_per_call
+    hint = max(avg_iters_hint, 1.0)
+    cap = max(2 * lanes, int(pool_bytes // max(row_bytes, 1)))
+    want = lanes + int(lanes * r * refill_every / hint)
+    if want > cap and auto:
+        r = max(1, int((cap - lanes) * hint // (lanes * refill_every)))
+        want = lanes + int(lanes * r * refill_every / hint)
+    return r, min(want, cap)
+
+
 # gid space is int32 (the pool index dtype).  Deep campaigns exhaust it —
 # the round-4 deep-FER run alone consumed 1.7e9 of the 2.1e9 ids — so the
 # drivers ROTATE the channel root key (fold_in) and reset base before an
@@ -859,7 +915,7 @@ def simulate_stream(
     stop: Optional[StopRule] = None,
     lanes: int = 4096,
     refill_every: int = 1,
-    rounds_per_call: int = 64,
+    rounds_per_call: Optional[int] = None,
     pool_frames: Optional[int] = None,
     avg_iters_hint: float = 8.0,
     seed: int = 0,
@@ -870,6 +926,7 @@ def simulate_stream(
     max_calls: int = 100000,
     mesh=None,
     data_axis: str = "data",
+    pool_bytes: Optional[int] = None,
 ) -> MCStats:
     """Monte-Carlo loop over the streaming driver (all-zero codewords).
 
@@ -883,9 +940,13 @@ def simulate_stream(
     outcome-independent prefix of the (seed, index) frame sequence.
 
     ``pool_frames`` defaults to the expected per-call consumption
-    (lanes × iterations / avg_iters_hint) + one lane width of slack;
-    undersized pools just idle lanes at the call tail (correct, slower),
-    oversized pools waste generation.
+    (lanes × iterations / avg_iters_hint) + one lane width of slack,
+    CAPPED at the ``pool_bytes`` budget (:func:`pool_policy`): with the
+    default ``rounds_per_call=None`` the per-call round count shrinks to
+    fit the budget (statistics are call-geometry-independent), with an
+    explicit round count only the pool is capped; undersized pools just
+    idle lanes at the call tail (correct, slower), oversized pools waste
+    generation.
 
     ``mesh``: run the stream sharded over the mesh's ``data_axis``
     (``lanes`` and ``pool_frames`` are GLOBAL and must divide by the
@@ -902,12 +963,16 @@ def simulate_stream(
     stop = stop or StopRule(min_word_errors=default_min_word_errors(code_n))
     sigma = float(snr_to_sigma(snr_db, rate))
     root = jax.random.key(seed)
-    iters_per_call = rounds_per_call * refill_every
     _default_pool = pool_frames is None
+    row_bytes = code_n * jnp.dtype(pool_dtype or dtype).itemsize
     if pool_frames is None:
-        pool_frames = lanes + int(
-            lanes * iters_per_call / max(avg_iters_hint, 1.0)
+        rounds_per_call, pool_frames = pool_policy(
+            lanes, refill_every, rounds_per_call, avg_iters_hint,
+            row_bytes, pool_bytes,
         )
+    elif rounds_per_call is None:
+        rounds_per_call = 64
+    iters_per_call = rounds_per_call * refill_every
     state = stream_init(dec, lanes, code_n, pool_dtype or dtype)
     nd = 1
     pool_out = None
@@ -1078,7 +1143,7 @@ def simulate_stream_nb(
     stop: Optional[StopRule] = None,
     lanes: int = 512,
     refill_every: int = 1,
-    rounds_per_call: int = 32,
+    rounds_per_call: Optional[int] = None,
     pool_frames: Optional[int] = None,
     avg_iters_hint: float = 6.0,
     seed: int = 0,
@@ -1086,6 +1151,7 @@ def simulate_stream_nb(
     pool_dtype=None,
     verbose: bool = False,
     max_calls: int = 100000,
+    pool_bytes: Optional[int] = None,
 ):
     """NB Monte-Carlo over the streaming driver -> :class:`NBMCStats`.
 
@@ -1103,14 +1169,17 @@ def simulate_stream_nb(
     n0 = float(snr_to_n0(snr_db, rate))
     sigma = float(np.sqrt(n0 / 2.0))
     root = jax.random.key(seed)
+    width = code.n * m_bits
     if pool_frames is None:
-        pool_frames = lanes + int(
-            lanes * rounds_per_call * refill_every
-            / max(avg_iters_hint, 1.0)
+        rounds_per_call, pool_frames = pool_policy(
+            lanes, refill_every, rounds_per_call, avg_iters_hint,
+            width * jnp.dtype(pool_dtype or jnp.float32).itemsize,
+            pool_bytes, default_rounds=32,
         )
+    elif rounds_per_call is None:
+        rounds_per_call = 32
 
     dec = nb_qspa_stream(code, n0, q, storage_dtype)
-    width = code.n * m_bits
     state = stream_init(
         dec, lanes, width, pool_dtype or jnp.float32
     )

@@ -618,12 +618,13 @@ def simulate_stream_gdbf(
     stop: Optional[StopRule] = None,
     lanes: int = 4096,
     refill_every: int = 1,
-    rounds_per_call: int = 64,
+    rounds_per_call: Optional[int] = None,
     pool_frames: Optional[int] = None,
     avg_iters_hint: float = 30.0,
     seed: int = 0,
     preprocess=None,
     pool_dtype=None,
+    pool_bytes: Optional[int] = None,
     qc: Optional[QCCode] = None,
     dense: Optional[DenseGraph] = None,
     verbose: bool = False,
@@ -652,12 +653,18 @@ def simulate_stream_gdbf(
     sigma = float(snr_to_sigma(snr_db, rate))
     root = jax.random.key(seed)
     kch, kdec = jax.random.split(root)
-    iters_per_call = rounds_per_call * refill_every
     _default_pool = pool_frames is None
     if pool_frames is None:
-        pool_frames = lanes + int(
-            lanes * iters_per_call / max(avg_iters_hint, 1.0)
+        from .stream import pool_policy
+
+        rounds_per_call, pool_frames = pool_policy(
+            lanes, refill_every, rounds_per_call, avg_iters_hint,
+            code.n * jnp.dtype(pool_dtype or jnp.float32).itemsize,
+            pool_bytes,
         )
+    elif rounds_per_call is None:
+        rounds_per_call = 64
+    iters_per_call = rounds_per_call * refill_every
     total_steps = cfg.max_phases * cfg.num_iterations
 
     state = gdbf_stream_init(

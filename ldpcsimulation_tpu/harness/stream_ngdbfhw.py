@@ -452,10 +452,11 @@ def simulate_stream_ngdbfhw(
     stop: Optional[StopRule] = None,
     lanes: int = 4096,
     refill_every: int = 4,
-    rounds_per_call: int = 32,
+    rounds_per_call: Optional[int] = None,
     pool_frames: Optional[int] = None,
     avg_iters_hint: float = 40.0,
     seed: int = 0,
+    pool_bytes: Optional[int] = None,
     qc=None,
     dense: Optional[DenseGraph] = None,
     verbose: bool = False,
@@ -479,12 +480,16 @@ def simulate_stream_ngdbfhw(
     root = jax.random.key(seed)
     kch, kdec = jax.random.split(root)
     # a frame's expected executed updates = avg over ALL phases
-    iters_per_call = rounds_per_call * refill_every
     _default_pool = pool_frames is None
     if pool_frames is None:
-        pool_frames = lanes + int(
-            lanes * iters_per_call / max(avg_iters_hint, 1.0)
+        rounds_per_call, pool_frames = _stream.pool_policy(
+            lanes, refill_every, rounds_per_call, avg_iters_hint,
+            code.n * 4, pool_bytes,
+            default_rounds=32,
         )
+    elif rounds_per_call is None:
+        rounds_per_call = 32
+    iters_per_call = rounds_per_call * refill_every
     T = cfg.num_iterations
 
     state = hw_stream_init(code, cfg, lanes)

@@ -138,6 +138,14 @@ def build_parser() -> argparse.ArgumentParser:
              "lanes = --batch.",
     )
     p.add_argument(
+        "--pool-bytes", type=int, default=None,
+        help="--stream channel-pool byte budget (default 256 MiB): the "
+             "per-call round count auto-shrinks so the hint-based pool "
+             "sizing fits the budget (harness.stream.pool_policy) — "
+             "replaces the round-4 'cap rounds_per_call by hand' "
+             "workaround at low-average-iteration operating points",
+    )
+    p.add_argument(
         "--msg-dtype", choices=["f32", "f16"], default="f32",
         help="message STORAGE dtype (arithmetic stays f32); f16 is the "
              "benchmark precision mode, BER-identical to f32.  Applied "
@@ -365,8 +373,8 @@ def main(argv: Optional[List[str]] = None) -> int:
         return simulate_stream(
             code.n, sdec, snr, rate, T,
             stop=stop, lanes=args.batch, refill_every=2,
-            rounds_per_call=32, seed=args.seed, preprocess=preprocess,
-            verbose=args.verbose,
+            seed=args.seed, preprocess=preprocess,
+            pool_bytes=args.pool_bytes, verbose=args.verbose,
         )
 
     if args.distributed:
@@ -619,9 +627,8 @@ def main(argv: Optional[List[str]] = None) -> int:
                     # refill pass; at the family's large caps a coarse
                     # cadence measured best (K=8 at T=100, docs/PERF.md)
                     refill_every=8 if T >= 64 else 2,
-                    rounds_per_call=32,
                     seed=args.seed, preprocess=pre, qc=qc, dense=dense,
-                    verbose=args.verbose,
+                    pool_bytes=args.pool_bytes, verbose=args.verbose,
                 )
             else:
                 stats = run_point(
@@ -680,7 +687,7 @@ def main(argv: Optional[List[str]] = None) -> int:
                 nb_stats = simulate_stream_nb(
                     code, snr_db=snr, num_iterations=T, rate=rate,
                     stop=stop, lanes=args.batch, refill_every=1,
-                    rounds_per_call=32, seed=args.seed,
+                    pool_bytes=args.pool_bytes, seed=args.seed,
                     storage_dtype=(
                         jnp.float16 if args.msg_dtype == "f16" else None
                     ),
@@ -732,7 +739,7 @@ def main(argv: Optional[List[str]] = None) -> int:
                 stats = simulate_stream_ngdbfhw(
                     code, cfg, snr, rate=rate,
                     stop=StopRule.fixed_frames(args.frames),
-                    lanes=args.batch, rounds_per_call=32,
+                    lanes=args.batch, pool_bytes=args.pool_bytes,
                     refill_every=16, seed=args.seed, qc=qc, dense=dense,
                     verbose=args.verbose,
                 )

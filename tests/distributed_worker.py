@@ -109,4 +109,45 @@ for k, v in gout.items():
         gslots.setdefault(str(slot), {})[k] = np.asarray(sh.data).tolist()
 with open(f"{out_path}.grid{pid}", "w") as f:
     json.dump(gslots, f)
+
+# --- STREAMING harness over the multi-process cluster (VERDICT r4 item
+# 4: the coordinator/DCN path was stream-blind).  simulate_stream(mesh=
+# global 1-D data mesh): lanes and the channel pool shard across ALL
+# processes' devices, counters arrive psum-replicated — every process
+# computes identical statistics, and the parent compares them bit-for-bit
+# against the single-process run with the same global device count
+# (frames are pure functions of (seed, gid) and per-device gid windows
+# depend only on mesh coordinates, so the process decomposition must be
+# invisible).  Drain included (pool pre-exhausted call).
+from jax.sharding import Mesh  # noqa: E402
+
+from ldpcsimulation_tpu.codes.qc import qc_peg  # noqa: E402
+from ldpcsimulation_tpu.harness.montecarlo import StopRule  # noqa: E402
+from ldpcsimulation_tpu.harness.stream import (  # noqa: E402
+    minsum_qc_stream,
+    simulate_stream,
+)
+
+smesh = Mesh(np.asarray(jax.devices()), ("data",))
+qcs = qc_peg(8, 4, 3, z=16, seed=0)
+nd_total = len(jax.devices())
+sstats = simulate_stream(
+    qcs.n, minsum_qc_stream(qcs), 2.5, 0.5, 8,
+    stop=StopRule(min_bit_errors=0, min_word_errors=0,
+                  max_frames=16 * nd_total),
+    lanes=8 * nd_total, rounds_per_call=4, refill_every=1, seed=3,
+    mesh=smesh,
+)
+stream_out = dict(
+    frames=int(sstats.total_words),
+    errors=int(sstats.errors),
+    word_errors=int(sstats.word_errors),
+    iters=int(sstats.total_iterations),
+    satisfied=int(sstats.satisfied_words),
+    uncoded=int(sstats.uncoded_errors),
+    iter_hist=np.asarray(sstats.iteration_hist).tolist(),
+    weight_hist=np.asarray(sstats.error_weight_hist).tolist(),
+)
+with open(f"{out_path}.stream{pid}", "w") as f:
+    json.dump(stream_out, f)
 print(f"worker {pid} ok", flush=True)

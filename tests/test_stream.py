@@ -678,6 +678,64 @@ def test_drain_outlasts_single_call_budget():
 
 
 
+def test_pool_policy_budget():
+    """pool_policy (VERDICT r4 item 6): the hint-based pool sizing is
+    capped by a byte budget — auto mode shrinks the per-call round count
+    to fit, explicit round counts keep their cadence with a capped pool,
+    and generous geometries are untouched."""
+    from ldpcsimulation_tpu.harness.stream import (
+        DEFAULT_POOL_BYTES,
+        pool_policy,
+    )
+
+    # deep-FER geometry (lanes 16k, avg 2.86, f16 rows): the raw hint
+    # wants lanes*rounds*K/avg ~ 1.1M rows = 2.3 GB; the policy fits the
+    # default 256 MiB budget by shrinking rounds
+    row = 1008 * 2
+    r, f = pool_policy(16384, 2, None, 2.86, row)
+    assert f * row <= DEFAULT_POOL_BYTES
+    assert 1 <= r < 64
+    # explicit rounds: cadence honored, pool capped at the budget
+    r2, f2 = pool_policy(16384, 2, 96, 2.86, row)
+    assert r2 == 96 and f2 * row <= DEFAULT_POOL_BYTES
+    # generous geometry: default rounds, hint sizing untouched
+    r3, f3 = pool_policy(4096, 1, None, 8.0, 1008 * 4)
+    assert r3 == 64
+    assert f3 == 4096 + int(4096 * 64 / 8.0)
+    # pathological budget: never below two lane widths
+    r4, f4 = pool_policy(64, 1, None, 1.0, 10**6, pool_bytes=1)
+    assert f4 >= 128
+    # custom budget respected (above the 2-lane floor)
+    r5, f5 = pool_policy(256, 1, None, 2.0, 1000, pool_bytes=2**20)
+    assert f5 * 1000 <= 2**20
+    assert f5 >= 2 * 256
+
+
+def test_pool_budget_stats_equal_prefix_truth():
+    """End-to-end with a TINY pool budget: the auto-shrunk call geometry
+    changes only how many frames are counted, never their statistics —
+    the aggregate counters equal a batch decode of the counted gid
+    PREFIX (frames are consumed in gid order and the drain retires every
+    injected frame)."""
+    dec = minsum_qc_stream(QC)
+    tiny = simulate_stream(
+        QC.n, dec, SNR, RATE, T,
+        stop=StopRule(min_bit_errors=0, min_word_errors=0,
+                      max_frames=300),
+        lanes=32, refill_every=1, seed=7,
+        pool_bytes=QC.n * 4 * 80,  # ~80-frame pools
+    )
+    assert tiny.total_words >= 300
+    ref = reference_frames(
+        dec, QC.n, tiny.total_words,
+        lambda rows: decode_minsum_qc(QC, rows, T, early_termination=True),
+    )
+    assert tiny.errors == sum(e for _i, e in ref.values())
+    assert tiny.total_iterations == sum(i for i, _e in ref.values())
+    assert tiny.word_errors == sum(1 for _i, e in ref.values() if e > 0)
+    assert tiny.iteration_hist.sum() == tiny.total_words
+
+
 def test_sweep_stream_cli(tmp_path):
     """--stream CLI route: min-sum QC and BP QC rows through the
     streaming harness, reference log-row format intact."""
