@@ -115,7 +115,7 @@ def decode_ddbmp(
     return DecodeResult(hard=d.T, iterations=iters, satisfied=done)
 
 
-def qc_ddbmp_round(qc, cn_plan, vn_plan, mem, yb):
+def qc_ddbmp_round(qc, cn_plan, vn_plan, mem, yb, fresh=None):
     """One DD-BMP update round on the QC roll path -> (mem', d).
 
     mem: [nb, dv_max, z, B] accumulator memories; yb: [nb, z, B] channel.
@@ -127,18 +127,34 @@ def qc_ddbmp_round(qc, cn_plan, vn_plan, mem, yb):
     iteration, and int8 quarters that traffic — the ablation measured
     the int32 planes at ~0.75 ms/iter of recoverable cost at 4096
     lanes).  Decisions are sign bits, so the narrowing is exact.
+
+    ``fresh``: optional [B] bool — lanes whose memories must read as
+    freshly initialized (every slot = the channel sample,
+    ``decodeDDBMP.cpp:301-310``).  The select is applied AT EACH READ
+    SITE instead of materializing a merged [nb, dv_max, z, B] array
+    (the streaming adapter's lazy-init path: the array-level merge was
+    the ablation's measured ~1.0 ms/iter — DD-BMP's 4-slot f32
+    accumulator state is ~4× the soft decoders').  Values are identical
+    to merging first (the select commutes into the reads), so the
+    streamed trajectories stay bit-exact.
     """
     z = qc.z
     dv_max = qc.dv_max
     b = yb.shape[-1]
     sign_y = sgn_pos(yb)
     zero = jnp.zeros((z, b), yb.dtype)
+
+    if fresh is None:
+        read = lambda bj, s: mem[bj, s]  # noqa: E731
+    else:
+        fr = fresh[None, :]
+        read = lambda bj, s: jnp.where(fr, yb[bj], mem[bj, s])  # noqa: E731
     # CN: sign product with exclusion-by-self (values ±1, order-free)
     c2v = [[None] * len(qc.vn_blocks[bj]) for bj in range(qc.nb)]
     for bi in range(qc.mb):
         views = []
         for e in cn_plan[bi]:
-            v = jnp.roll(sgn_pos(mem[e.bj, e.vslot]), -e.shift, axis=0)
+            v = jnp.roll(sgn_pos(read(e.bj, e.vslot)), -e.shift, axis=0)
             if e.cn_mask is not None:
                 v = jnp.where(
                     jnp.asarray(e.cn_mask)[:, None], jnp.ones_like(v), v
@@ -173,7 +189,7 @@ def qc_ddbmp_round(qc, cn_plan, vn_plan, mem, yb):
         mem_rows = []
         outs = []
         for s, (e, sa) in enumerate(zip(vn_plan[bj], slots)):
-            mrow = mem[bj, s] + (total - sa)
+            mrow = read(bj, s) + (total - sa)
             mem_rows.append(mrow)
             o = sgn_pos(mrow)
             if e.zero_mask is not None:

@@ -120,6 +120,14 @@ class StreamDecoder:
     errs2_of: Optional[Callable] = None
     check_at_injection: bool = True
     break_index: bool = False
+    #: optional lazy-init step: ``step_fresh(msgs, ych, fresh) ->
+    #: (msgs, total)`` applies the fresh-lane re-initialization select at
+    #: each READ SITE inside the step instead of the driver's array-level
+    #: ``_merge(fresh, init(ych), msgs)`` — worth it for decoders with
+    #: heavy message state (DD-BMP's 4-slot f32 accumulators: the merge
+    #: measured ~1.0 ms/iter at 4096 lanes).  Must be value-identical to
+    #: merging first.
+    step_fresh: Optional[Callable] = None
 
 
 def minsum_qc_stream(
@@ -397,12 +405,20 @@ def ddbmp_qc_stream(qc: QCCode) -> StreamDecoder:
         shape = (qc.nb, qc.dv_max) + ych.shape[1:]
         return jnp.broadcast_to(ych[:, None], shape).astype(dt)
 
+    def step_fresh(mem, yb, fresh):
+        # lazy re-initialization: the fresh-lane select runs at each
+        # memory read site inside the shared round (see qc_ddbmp_round)
+        # instead of materializing the merged 4-slot f32 state
+        yf = yb.astype(jnp.promote_types(yb.dtype, jnp.float32))
+        return qc_ddbmp_round(qc, cn_plan, vn_plan, mem, yf, fresh=fresh)
+
     return StreamDecoder(
         prep=prep,
         init=init,
         step=_upcast_step(
             lambda mem, yb: qc_ddbmp_round(qc, cn_plan, vn_plan, mem, yb)
         ),
+        step_fresh=step_fresh,
         satisfied=lambda d: qc_check_satisfied(qc, d),
         hard=lambda d: d.reshape(qc.n, -1),
         # the round emits int8 ±1 decision planes (see qc_ddbmp_round);
@@ -585,10 +601,16 @@ def make_stream_call(
         # advance; d/iters freeze once done (or capped).  Freshly refilled
         # lanes read init(ych) instead of their stale messages — selected
         # at the step INPUT so XLA fuses it into the first read instead of
-        # materializing a full message-plane merge at the boundary.
+        # materializing a full message-plane merge at the boundary (or at
+        # each read site via the decoder's step_fresh hook).
         act = (~st["done"]) & (st["iters"] < T)
-        msgs_in = _merge(st["fresh"], dec.init(st["ych"]), st["msgs"])
-        msgs, total = dec.step(msgs_in, st["ych"])
+        if dec.step_fresh is not None:
+            msgs, total = dec.step_fresh(
+                st["msgs"], st["ych"], st["fresh"]
+            )
+        else:
+            msgs_in = _merge(st["fresh"], dec.init(st["ych"]), st["msgs"])
+            msgs, total = dec.step(msgs_in, st["ych"])
         d = _merge(act, d_of(total), st["d"])
         return dict(
             st,
