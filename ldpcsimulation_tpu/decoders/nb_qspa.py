@@ -353,8 +353,15 @@ def nb_qspa_machine(code: Code, q: int, dtype=jnp.float32,
         log_post = log_pri + jnp.sum(logg, axis=1)
         return v2c, log_post
 
+    # int8 symbol planes (q ≤ 128): the ET symbol latch and the
+    # per-iteration syndrome gather move [N, B] / [slots, B] planes
+    # every round — int8 quarters that traffic vs int32, exactly
+    # (values are field elements 0..q-1).  Same change as DD-BMP's
+    # round-5 int8 decision planes.
+    sym_dt = jnp.int8 if q <= 128 else jnp.int32
+
     def decide(log_post):
-        return jnp.argmax(log_post, axis=1).astype(jnp.int32)  # [N, B]
+        return jnp.argmax(log_post, axis=1).astype(sym_dt)  # [N, B]
 
     # GF(2^m) multiplication by the CONSTANT per-slot coefficient is
     # GF(2)-LINEAR over the symbol's bit planes: h·z bit j = ⊕_i
@@ -373,8 +380,8 @@ def nb_qspa_machine(code: Code, q: int, dtype=jnp.float32,
             for j in range(m_bits)
         ],
         axis=-2,
-    )  # [slots, m(out j), m(in i)] 0/1
-    syn_mask = code.cn_mask.reshape(-1).astype(jnp.int32)[:, None]
+    ).astype(sym_dt)  # [slots, m(out j), m(in i)] 0/1
+    syn_mask = code.cn_mask.reshape(-1).astype(sym_dt)[:, None]
 
     def syndrome_ok(symbols):
         """H·z == 0 over GF(q) for each frame (bit-plane linear form)."""
@@ -389,7 +396,7 @@ def nb_qspa_machine(code: Code, q: int, dtype=jnp.float32,
             hs = hs | (bit << j)
         hs = hs * syn_mask
         hs = hs.reshape(code.m, code.dc_max, b)
-        acc = jnp.zeros((code.m, b), jnp.int32)
+        acc = jnp.zeros((code.m, b), hs.dtype)
         for t in range(code.dc_max):
             acc = jnp.bitwise_xor(acc, hs[:, t])
         return jnp.all(acc == 0, axis=0)
@@ -501,4 +508,6 @@ def decode_nb_qspa(
         _t, _v2c, sym, iters, done = jax.lax.while_loop(
             cond, body, (jnp.int32(0), v2c0, sym0, iters0, done0)
         )
-    return NBDecodeResult(symbols=sym.T, iterations=iters, satisfied=done)
+    return NBDecodeResult(
+        symbols=sym.T.astype(jnp.int32), iterations=iters, satisfied=done
+    )
