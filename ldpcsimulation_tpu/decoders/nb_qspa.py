@@ -199,6 +199,7 @@ def nb_qspa_machine(code: Code, q: int, dtype=jnp.float32,
 
     cn_gather = code.cn_from_vn.reshape(-1)
     vn_gather = code.vn_from_cn.reshape(-1)
+    cn_vn_ids = code.cn_vn.reshape(-1)  # VN id per CN slot
     cn_mask = code.cn_mask.reshape(-1)[:, None, None]
     vn_mask = code.vn_mask.reshape(-1)[:, None, None]
     delta0 = jnp.zeros((q,), dtype).at[0].set(1.0)[None, :, None]
@@ -239,10 +240,24 @@ def nb_qspa_machine(code: Code, q: int, dtype=jnp.float32,
             ]
         _mask_c = code.cn_mask  # [m, dc_max]
 
-    def cn_update(v2c):
-        """v2c [N*dv_max, q, B] log-domain -> c2v [M*dc_max, q, B] log."""
+    def cn_update(v2c, log_pri=None, fresh=None):
+        """v2c [N*dv_max, q, B] log-domain -> c2v [M*dc_max, q, B] log.
+
+        ``fresh`` (with ``log_pri``): optional [B] bool — lanes whose
+        messages must read as freshly initialized (every slot = the
+        max-normalized log prior of its variable).  The select runs on
+        the GATHERED rows against a gather of the [N, q, B] priors by
+        the slot's VN id — identical values to merging
+        ``init(log_pri)`` into v2c first (the streaming adapter's lazy
+        init: the array-level merge materializes the full [N·dv_max,
+        q, B] message plane each iterate)."""
         b = v2c.shape[-1]
         g = jnp.take(v2c, cn_gather, axis=0)  # [M*dc_max, q, B]
+        if fresh is not None:
+            gi = jnp.take(
+                log_pri.astype(sdtype), cn_vn_ids, axis=0
+            )  # init value per CN slot (= init(log_pri) gathered)
+            g = jnp.where(fresh[None, None, :], gi, g)
         g = jnp.exp(g.astype(dtype))  # x-domain, ≤ 1 (max-normalized logs)
         if q <= _FUSED_QMAX:
             # fused coefficient-rescale + WHT (see _wht_sign_tables),

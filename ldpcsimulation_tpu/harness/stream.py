@@ -1109,6 +1109,13 @@ def nb_qspa_stream(code, n0: float, q: int = 0,
         c2v = M["cn_update"](v2c)
         return M["vn_update"](c2v, ych)
 
+    def step_fresh(v2c, ych, fresh):
+        # lazy fresh-lane re-init: select on the gathered CN rows
+        # against a prior gather instead of materializing the merged
+        # [N*dv_max, q, B] message plane (see cn_update)
+        c2v = M["cn_update"](v2c, ych, fresh)
+        return M["vn_update"](c2v, ych)
+
     def errs_of(d):  # bit errors vs the all-zero codeword
         acc = jnp.zeros(d.shape[-1], jnp.int32)
         for i in range(m_bits):
@@ -1119,6 +1126,7 @@ def nb_qspa_stream(code, n0: float, q: int = 0,
         prep=prep,
         init=M["init"],
         step=step,
+        step_fresh=step_fresh,
         satisfied=M["syndrome_ok"],
         hard=lambda d: d,
         d_of=lambda total: M["decide"](total),
