@@ -777,13 +777,26 @@ def main(argv: Optional[List[str]] = None) -> int:
                 snr, stats, T, cfg.theta0, cfg.noise_scale, cfg.w,
                 cfg.ymax, cfg.nq, cfg.max_phases, args.seed,
             )
-            # iteration-completion CDF file (NGDBFhw.cpp:464-469)
+            # iteration-completion CDF file (NGDBFhw.cpp:464-469); on a
+            # multi-parameter grid the swept parameters join the filename
+            # so points sharing an SNR don't clobber each other (same
+            # convention as the --distributed route)
+            suffix = "".join(
+                f"_{nm}{val:g}"
+                for nm, val in (("theta0", cfg.theta0),
+                                ("w", cfg.w),
+                                ("noise_scale", cfg.noise_scale),
+                                ("ymax", cfg.ymax))
+                if len(getattr(args, nm)) > 1
+            )
             cdf = (
                 stats.iteration_cdf_biased()
                 if args.itdist_biased
                 else stats.iteration_cdf()
             )
-            with open(f"{args.log}_{snr:g}_itdist.dat", "w") as f:
+            with open(
+                f"{args.log}_{snr:g}{suffix}_itdist.dat", "w"
+            ) as f:
                 for idx, v in enumerate(cdf):
                     f.write(f"{idx}\t{v:.6g}\n")
         append_row(args.log, row)
