@@ -175,7 +175,8 @@ def nb_qspa_machine(code: Code, q: int, dtype=jnp.float32,
     Returns a dict of:
       * ``cn_update(v2c)``            — [slots_v, q, B] log → [slots_c, q, B]
       * ``vn_update(c2v, log_pri)``   — → (v2c log, log_post)
-      * ``decide(log_post)``          — → [N, B] int32 symbols
+      * ``decide(log_post)``          — → [N, B] symbols (int8 for
+        q ≤ 128 — exact; cast to int32 at the public result boundary)
       * ``syndrome_ok(symbols)``      — H·z == 0 over GF(q), [B] bool
       * ``init(log_pri)``             — initial v2c message planes
 

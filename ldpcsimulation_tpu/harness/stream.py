@@ -306,30 +306,18 @@ def bp_stratified_stream(
     )
 
 
-def minsum_layered_qc_stream(
-    qc: QCCode,
-    variant: str = "plain",
-    alpha: float = 1.0,
-    delta: float = 0.0,
-    storage_dtype=None,
-) -> StreamDecoder:
-    """Stream adapter for
-    :func:`..decoders.minsum_layered.decode_minsum_layered_qc` (same
-    step function object — bit-identical arithmetic).  One stream
-    iteration = one full layer sweep over all Mb base rows, so the
-    iteration count keeps the batched layered decoder's definition.
-    The layered state is (posterior tuple q, per-layer stored messages
-    L); the channel term lives inside q, so refill re-initialization is
-    q := ych, L := 0 and the step ignores ych.  An f16 pool's rows are
-    upcast exactly at init — the posterior is carried at f32 like the
-    batch decoder's."""
-    from ..decoders.minsum_layered import (
-        layered_l0,
-        qc_minsum_layered_step,
-    )
+def _layered_stream(qc: QCCode, step, storage_dtype) -> StreamDecoder:
+    """Shared layered-adapter construction: one stream iteration = one
+    full layer sweep of the given factored step object, so the iteration
+    count keeps the batched layered decoders' definition.  The layered
+    state is (posterior tuple q, per-layer stored messages L); the
+    channel term lives inside q, so refill re-initialization is
+    q := ych, L := 0 (at ``storage_dtype``, or the compute dtype when
+    None) and the step ignores ych.  An f16 pool's rows are upcast
+    exactly at init — the posterior is carried at f32 like the batch
+    decoders'."""
+    from ..decoders.minsum_layered import layered_l0
     from ..decoders.minsum_qc import qc_check_satisfied
-
-    step = qc_minsum_layered_step(qc, variant, alpha, delta, storage_dtype)
 
     def prep(rows):
         return rows.T.reshape(qc.nb, qc.z, -1)
@@ -349,38 +337,42 @@ def minsum_layered_qc_stream(
     )
 
 
+def minsum_layered_qc_stream(
+    qc: QCCode,
+    variant: str = "plain",
+    alpha: float = 1.0,
+    delta: float = 0.0,
+    storage_dtype=None,
+) -> StreamDecoder:
+    """Stream adapter for
+    :func:`..decoders.minsum_layered.decode_minsum_layered_qc` (same
+    step function object — bit-identical arithmetic); see
+    :func:`_layered_stream`."""
+    from ..decoders.minsum_layered import qc_minsum_layered_step
+
+    return _layered_stream(
+        qc,
+        qc_minsum_layered_step(qc, variant, alpha, delta, storage_dtype),
+        storage_dtype,
+    )
+
+
 def bp_layered_qc_stream(
     qc: QCCode, max_llr: Optional[float] = None
 ) -> StreamDecoder:
     """Stream adapter for
     :func:`..decoders.bp_layered.decode_bp_layered_qc` (same step
-    function object — bit-identical arithmetic).  Pool rows must be
-    LLRs (``preprocess=llr_from_channel``); the batch decoder carries
-    the UNclamped posterior (clamping only check-node input copies), so
-    ``prep`` applies no clamp."""
+    function object — bit-identical arithmetic); see
+    :func:`_layered_stream`.  Pool rows must be LLRs
+    (``preprocess=llr_from_channel``); the batch decoder carries the
+    UNclamped posterior (clamping only check-node input copies), so the
+    prep applies no clamp.  BP's stored L rides the compute dtype (the
+    batch decoder has no narrow-storage mode)."""
     from ..decoders.bp import MAXLLR
     from ..decoders.bp_layered import qc_bp_layered_step
-    from ..decoders.minsum_layered import layered_l0
-    from ..decoders.minsum_qc import qc_check_satisfied
 
     ml = MAXLLR if max_llr is None else max_llr
-    step = qc_bp_layered_step(qc, ml)
-
-    def prep(rows):
-        return rows.T.reshape(qc.nb, qc.z, -1)
-
-    def init(ych):
-        dt = jnp.promote_types(ych.dtype, jnp.float32)
-        q = tuple(ych.astype(dt))
-        return (q, layered_l0(qc, ych.shape[-1], dt, q[0]))
-
-    return StreamDecoder(
-        prep=prep,
-        init=init,
-        step=lambda qL, ych: step(qL),
-        satisfied=lambda d: qc_check_satisfied(qc, d),
-        hard=lambda d: d.reshape(qc.n, -1),
-    )
+    return _layered_stream(qc, qc_bp_layered_step(qc, ml), None)
 
 
 def ddbmp_qc_stream(qc: QCCode) -> StreamDecoder:
@@ -987,13 +979,14 @@ def simulate_stream(
     root = jax.random.key(seed)
     _default_pool = pool_frames is None
     row_bytes = code_n * jnp.dtype(pool_dtype or dtype).itemsize
+    default_rounds = 64
     if pool_frames is None:
         rounds_per_call, pool_frames = pool_policy(
             lanes, refill_every, rounds_per_call, avg_iters_hint,
-            row_bytes, pool_bytes,
+            row_bytes, pool_bytes, default_rounds=default_rounds,
         )
     elif rounds_per_call is None:
-        rounds_per_call = 64
+        rounds_per_call = default_rounds
     iters_per_call = rounds_per_call * refill_every
     state = stream_init(dec, lanes, code_n, pool_dtype or dtype)
     nd = 1
@@ -1088,7 +1081,8 @@ def nb_qspa_stream(code, n0: float, q: int = 0,
     ``[B, N*m_bits]`` (2–3x smaller than storing the q-vector priors);
     ``prep`` recomputes symbol priors + log exactly as the batch decoder's
     front-end does (``channel.nb.symbol_priors``), so per-frame results
-    equal a batch decode of the same rows.  Decisions are int32 symbols;
+    equal a batch decode of the same rows.  Decisions are int8 symbols
+    (q ≤ 128, see nb_qspa_machine);
     the primary error metric is BIT errors (popcount of the symbol value
     for the all-zero codeword), the secondary (``errs2``) symbol errors.
     """
@@ -1200,14 +1194,15 @@ def simulate_stream_nb(
     sigma = float(np.sqrt(n0 / 2.0))
     root = jax.random.key(seed)
     width = code.n * m_bits
+    default_rounds = 32
     if pool_frames is None:
         rounds_per_call, pool_frames = pool_policy(
             lanes, refill_every, rounds_per_call, avg_iters_hint,
             width * jnp.dtype(pool_dtype or jnp.float32).itemsize,
-            pool_bytes, default_rounds=32,
+            pool_bytes, default_rounds=default_rounds,
         )
     elif rounds_per_call is None:
-        rounds_per_call = 32
+        rounds_per_call = default_rounds
 
     dec = nb_qspa_stream(code, n0, q, storage_dtype)
     state = stream_init(

@@ -654,16 +654,17 @@ def simulate_stream_gdbf(
     root = jax.random.key(seed)
     kch, kdec = jax.random.split(root)
     _default_pool = pool_frames is None
+    default_rounds = 64
     if pool_frames is None:
         from .stream import pool_policy
 
         rounds_per_call, pool_frames = pool_policy(
             lanes, refill_every, rounds_per_call, avg_iters_hint,
             code.n * jnp.dtype(pool_dtype or jnp.float32).itemsize,
-            pool_bytes,
+            pool_bytes, default_rounds=default_rounds,
         )
     elif rounds_per_call is None:
-        rounds_per_call = 64
+        rounds_per_call = default_rounds
     iters_per_call = rounds_per_call * refill_every
     total_steps = cfg.max_phases * cfg.num_iterations
 

@@ -481,14 +481,15 @@ def simulate_stream_ngdbfhw(
     kch, kdec = jax.random.split(root)
     # a frame's expected executed updates = avg over ALL phases
     _default_pool = pool_frames is None
+    default_rounds = 32
     if pool_frames is None:
         rounds_per_call, pool_frames = _stream.pool_policy(
             lanes, refill_every, rounds_per_call, avg_iters_hint,
             code.n * 4, pool_bytes,
-            default_rounds=32,
+            default_rounds=default_rounds,
         )
     elif rounds_per_call is None:
-        rounds_per_call = 32
+        rounds_per_call = default_rounds
     iters_per_call = rounds_per_call * refill_every
     T = cfg.num_iterations
 

@@ -139,7 +139,7 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument(
         "--pool-bytes", type=int, default=None,
-        help="--stream channel-pool byte budget (default 256 MiB): the "
+        help="--stream channel-pool byte budget (default 1 GiB): the "
              "per-call round count auto-shrinks so the hint-based pool "
              "sizing fits the budget (harness.stream.pool_policy) — "
              "replaces the round-4 'cap rounds_per_call by hand' "

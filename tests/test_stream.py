@@ -690,7 +690,7 @@ def test_pool_policy_budget():
 
     # deep-FER geometry (lanes 16k, avg 2.86, f16 rows): the raw hint
     # wants lanes*rounds*K/avg ~ 1.1M rows = 2.3 GB; the policy fits the
-    # default 256 MiB budget by shrinking rounds
+    # default 1 GiB budget by shrinking rounds
     row = 1008 * 2
     r, f = pool_policy(16384, 2, None, 2.86, row)
     assert f * row <= DEFAULT_POOL_BYTES
