@@ -631,6 +631,30 @@ def test_sharded_simulate_stream_stats():
     assert abs(st1.ber - st0.ber) < tol, (st1.ber, st0.ber)
 
 
+def test_sharded_layered_stream_stats():
+    """Layered stream under shard_map (8 virtual devices): the tuple-of-
+    tuples layered lane state shards on its last axis like any other
+    (deterministic counters, consistent with the single-device run)."""
+    from ldpcsimulation_tpu.harness.stream import minsum_layered_qc_stream
+
+    mesh = _data_mesh()
+    dec = minsum_layered_qc_stream(QC, variant="normalized", alpha=1.25)
+    kw = dict(
+        stop=StopRule(min_bit_errors=0, min_word_errors=0,
+                      max_frames=800),
+        lanes=64, rounds_per_call=8, refill_every=1, seed=4,
+    )
+    st1 = simulate_stream(QC.n, dec, SNR, RATE, T, mesh=mesh, **kw)
+    st2 = simulate_stream(QC.n, dec, SNR, RATE, T, mesh=mesh, **kw)
+    assert st1.total_words == st2.total_words >= 800
+    assert st1.errors == st2.errors
+    assert st1.iteration_hist.sum() == st1.total_words
+    st0 = simulate_stream(QC.n, dec, SNR, RATE, T, **kw)
+    p = max(st0.ber, 1e-4)
+    tol = 5.0 * np.sqrt(p * (1 - p) / st1.total_bits) + 0.2 * p
+    assert abs(st1.ber - st0.ber) < tol, (st1.ber, st0.ber)
+
+
 def test_gid_rotation_before_int32_overflow(monkeypatch):
     """Deep campaigns exhaust the int32 gid space (the round-4 deep-FER
     run used 80% of it): the driver must rotate the channel root and
