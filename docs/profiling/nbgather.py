@@ -155,3 +155,41 @@ for q in QS:
 
     report("VN gather [slots,q,B] (production)",
            marginal(step_vn), slots_v * q * B * 2 + out_bytes)
+
+
+# ---- full-iteration A/B: row vs flattened gather layout through the
+# actual machine (values identical — tests pin it; this is lowering only)
+from ldpcsimulation_tpu.channel.nb import symbol_priors  # noqa: E402
+from ldpcsimulation_tpu.channel.awgn import snr_to_n0  # noqa: E402
+from ldpcsimulation_tpu.decoders.nb_qspa import nb_qspa_machine  # noqa: E402
+
+for q in QS:
+    code = build_code(load_alist(PATHS[q]))
+    m_bits = q.bit_length() - 1
+    rate = (code.n - code.m) / code.n
+    n0 = float(snr_to_n0(2.2 if q == 4 else 2.4, rate))
+    sig = float((n0 / 2) ** 0.5)
+    y = 1.0 + sig * jax.random.normal(
+        jax.random.key(5), (B, code.n, m_bits), jnp.float32
+    )
+    pri = jnp.moveaxis(symbol_priors(y, n0, q), 0, -1)
+    for flat in (False, True):
+        M = nb_qspa_machine(code, q, jnp.float32, jnp.float16,
+                            flat_gather=flat)
+        log_pri = M["log_of"](pri)
+        v2c0 = M["init"](log_pri)
+
+        def step_iter(x0, r, M=M, log_pri=log_pri, v2c0=v2c0):
+            def body(i, v2c):
+                c2v = M["cn_update"](v2c)
+                v2c, _post = M["vn_update"](c2v, log_pri)
+                return v2c
+            v = jax.lax.fori_loop(
+                0, r, body,
+                v2c0 + x0.astype(jnp.float16) * 0,
+            )
+            return v[0, 0, 0].astype(jnp.float32)
+
+        dt = marginal(step_iter, r_lo=2, r_hi=10)
+        print(f"GF({q}) full iteration, flat_gather={flat}: "
+              f"{dt*1e3:.2f} ms/iter at B={B}")

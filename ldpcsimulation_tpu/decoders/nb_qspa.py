@@ -110,6 +110,15 @@ def wht(x: jax.Array, axis: int = -1) -> jax.Array:
 # (GF(64) measured faster on the butterfly path, see _gf2m_wht docstring).
 _FUSED_QMAX = 8
 
+#: Gather layout for the graph interleave (VERDICT r4 item 1 candidate):
+#: False — row gathers over [slots, q, B] planes (q·B-wide rows);
+#: True — one flattened take over [slots·q, B] with the q offset folded
+#: into the index ([B]-wide rows).  Values are identical either way
+#: (pinned by test_nb_qspa.test_flat_gather_layout_identical); the
+#: default is whichever the chip measurement favors
+#: (docs/profiling/nbgather.py).
+FLAT_GATHER = False
+
 
 @functools.lru_cache(maxsize=None)
 def _wht_sign_tables(q: int):
@@ -169,7 +178,7 @@ def _class_combine(h_cn, x, tbl):
 
 
 def nb_qspa_machine(code: Code, q: int, dtype=jnp.float32,
-                    storage_dtype=None):
+                    storage_dtype=None, flat_gather=None):
     """The FFT-QSPA kernels as pure functions of their inputs.
 
     Returns a dict of:
@@ -201,6 +210,24 @@ def nb_qspa_machine(code: Code, q: int, dtype=jnp.float32,
     cn_gather = code.cn_from_vn.reshape(-1)
     vn_gather = code.vn_from_cn.reshape(-1)
     cn_vn_ids = code.cn_vn.reshape(-1)  # VN id per CN slot
+    flat = FLAT_GATHER if flat_gather is None else flat_gather
+    if flat:
+        qoff = jnp.arange(q)[None, :]
+        cn_idx_flat = (cn_gather[:, None] * q + qoff).reshape(-1)
+        vn_idx_flat = (vn_gather[:, None] * q + qoff).reshape(-1)
+        cn_vn_flat = (cn_vn_ids[:, None] * q + qoff).reshape(-1)
+
+    def _take_rows(x, idx_rows, idx_flat, n_out):
+        """Graph-interleave gather in the configured layout: row take
+        over [slots, q, B] planes, or one flattened take over
+        [slots*q, B] with the q offset folded into the index —
+        identical values (pure relayout of the same elements)."""
+        if flat:
+            b = x.shape[-1]
+            return jnp.take(
+                x.reshape(-1, b), idx_flat, axis=0
+            ).reshape(n_out, q, b)
+        return jnp.take(x, idx_rows, axis=0)
     cn_mask = code.cn_mask.reshape(-1)[:, None, None]
     vn_mask = code.vn_mask.reshape(-1)[:, None, None]
     delta0 = jnp.zeros((q,), dtype).at[0].set(1.0)[None, :, None]
@@ -253,10 +280,12 @@ def nb_qspa_machine(code: Code, q: int, dtype=jnp.float32,
         init: the array-level merge materializes the full [N·dv_max,
         q, B] message plane each iterate)."""
         b = v2c.shape[-1]
-        g = jnp.take(v2c, cn_gather, axis=0)  # [M*dc_max, q, B]
+        g = _take_rows(v2c, cn_gather, cn_idx_flat if flat else None,
+                       code.m * code.dc_max)  # [M*dc_max, q, B]
         if fresh is not None:
-            gi = jnp.take(
-                log_pri.astype(sdtype), cn_vn_ids, axis=0
+            gi = _take_rows(
+                log_pri.astype(sdtype), cn_vn_ids,
+                cn_vn_flat if flat else None, code.m * code.dc_max,
             )  # init value per CN slot (= init(log_pri) gathered)
             g = jnp.where(fresh[None, None, :], gi, g)
         g = jnp.exp(g.astype(dtype))  # x-domain, ≤ 1 (max-normalized logs)
@@ -337,7 +366,8 @@ def nb_qspa_machine(code: Code, q: int, dtype=jnp.float32,
         better than dv separate passes).
         """
         b = c2v.shape[-1]
-        g = jnp.take(c2v, vn_gather, axis=0)  # [N*dv_max, q, B]
+        g = _take_rows(c2v, vn_gather, vn_idx_flat if flat else None,
+                       code.n * code.dv_max)  # [N*dv_max, q, B]
         logg = jnp.where(vn_mask, g.astype(dtype), jnp.zeros((), dtype))
         logg = logg.reshape(code.n, code.dv_max, q, b)
         zeros = jnp.zeros((code.n, q, b), dtype)

@@ -290,3 +290,39 @@ def test_fused_cn_matches_butterfly_and_f16(q, rng, monkeypatch):
     assert abs((f16[0] != 0).mean() - (base[0] != 0).mean()) < 0.01
     # the batch is genuinely noisy: some frames need several iterations
     assert base[1].max() >= 3
+
+
+def test_flat_gather_layout_identical():
+    """The flattened [slots*q, B] gather layout is a pure relayout of
+    the row gather — v2c/c2v planes and decisions must be IDENTICAL
+    (VERDICT r4 item 1 layout candidate; the chip measurement picks the
+    default)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ldpcsimulation_tpu.codes import build_code
+    from ldpcsimulation_tpu.codes.construct import nb_regular
+    from ldpcsimulation_tpu.channel.nb import symbol_priors
+    from ldpcsimulation_tpu.decoders.nb_qspa import nb_qspa_machine
+
+    for q in (4, 8):
+        code = build_code(nb_regular(48, 24, 3, q=q, seed=5))
+        m_bits = q.bit_length() - 1
+        y = 1.0 + 0.8 * jax.random.normal(
+            jax.random.key(3), (16, code.n, m_bits), jnp.float32
+        )
+        pri = jnp.moveaxis(symbol_priors(y, 1.2, q), 0, -1)
+        outs = []
+        for flat in (False, True):
+            M = nb_qspa_machine(code, q, jnp.float32, jnp.float16,
+                                flat_gather=flat)
+            log_pri = M["log_of"](pri)
+            v2c = M["init"](log_pri)
+            for _ in range(3):
+                c2v = M["cn_update"](v2c)
+                v2c, post = M["vn_update"](c2v, log_pri)
+            outs.append((np.asarray(v2c), np.asarray(post),
+                         np.asarray(M["decide"](post))))
+        for a, b in zip(outs[0], outs[1]):
+            np.testing.assert_array_equal(a, b)
