@@ -128,6 +128,11 @@ class StreamDecoder:
     #: measured ~1.0 ms/iter at 4096 lanes).  Must be value-identical to
     #: merging first.
     step_fresh: Optional[Callable] = None
+    #: optional pool-build front-end: ``prep_raw(raw_rows) -> pool_rows``
+    #: maps raw channel samples to PRE-PREPPED pool rows once per frame
+    #: at pool build, making ``prep`` a cheap relayout at the boundary
+    #: (NB-QSPA: symbol priors + log ran per boundary otherwise).
+    prep_raw: Optional[Callable] = None
 
 
 def minsum_qc_stream(
@@ -1077,14 +1082,19 @@ def nb_qspa_stream(code, n0: float, q: int = 0,
                    storage_dtype=None) -> StreamDecoder:
     """Stream adapter for :func:`..decoders.nb_qspa.decode_nb_qspa`.
 
-    Pool rows are the per-frame BIT-level channel samples flattened to
-    ``[B, N*m_bits]`` (2–3x smaller than storing the q-vector priors);
-    ``prep`` recomputes symbol priors + log exactly as the batch decoder's
-    front-end does (``channel.nb.symbol_priors``), so per-frame results
-    equal a batch decode of the same rows.  Decisions are int8 symbols
-    (q ≤ 128, see nb_qspa_machine);
-    the primary error metric is BIT errors (popcount of the symbol value
-    for the all-zero codeword), the secondary (``errs2``) symbol errors.
+    Pool rows are the PRE-PREPPED max-normalized log priors flattened to
+    ``[B, N*q]`` f32 (round 5): the boundary used to recompute symbol
+    priors + log for the ENTIRE lane width at every refill boundary —
+    exp/log over [N, q, B] per boundary, 32× per call at the default
+    cadence — which is why the GF(8) stream row measured SLOWER than
+    batched.  The pool builder (``prep_raw``) runs the same
+    ``channel.nb.symbol_priors`` + log front-end as the batch decoder
+    ONCE per frame at pool build, so per-frame results still equal a
+    batch decode of the same bit-level channel rows; ``prep`` is now a
+    pure reshape.  Decisions are int8 symbols (q ≤ 128, see
+    nb_qspa_machine); the primary error metric is BIT errors (popcount
+    of the symbol value for the all-zero codeword), the secondary
+    (``errs2``) symbol errors.
     """
     from ..channel.nb import symbol_priors
     from ..decoders.nb_qspa import nb_qspa_machine
@@ -1094,10 +1104,16 @@ def nb_qspa_stream(code, n0: float, q: int = 0,
     M = nb_qspa_machine(code, q, jnp.float32, storage_dtype)
 
     def prep(rows):
-        # rows [B, N*m] (possibly f16; upcast exact) -> log_pri [N, q, B]
-        y = rows.astype(jnp.float32).reshape(-1, code.n, m_bits)
-        pri = symbol_priors(y, n0, q)  # [B, N, q]
-        return M["log_of"](jnp.moveaxis(pri, 0, -1))
+        # rows [B, N*q] prepped log priors -> [N, q, B] (pure relayout)
+        return jnp.moveaxis(rows.reshape(-1, code.n, q), 0, -1)
+
+    def prep_raw(y):
+        # bit-level samples [F, N*m] -> prepped pool rows [F, N*q]:
+        # the batch decoder's exact front-end, run once per frame
+        yb = y.astype(jnp.float32).reshape(-1, code.n, m_bits)
+        pri = symbol_priors(yb, n0, q)  # [F, N, q]
+        lp = M["log_of"](jnp.moveaxis(pri, 0, -1))  # [N, q, F]
+        return jnp.moveaxis(lp, -1, 0).reshape(-1, code.n * q)
 
     def step(v2c, ych):
         c2v = M["cn_update"](v2c)
@@ -1126,6 +1142,7 @@ def nb_qspa_stream(code, n0: float, q: int = 0,
         d_of=lambda total: M["decide"](total),
         errs_of=errs_of,
         errs2_of=lambda d: jnp.sum(d != 0, axis=0, dtype=jnp.int32),
+        prep_raw=prep_raw,
     )
 
 
@@ -1137,11 +1154,11 @@ def build_channel_pool_nb(
     n: int,
     q: int,
     sigma: float,
-    pool_dtype=None,
 ):
-    """NB pool: per-frame bit-level AWGN rows ``[F, N*m_bits]`` for the
-    all-zero codeword (all-+1 BPSK bits), plus per-frame uncoded symbol
-    errors and the iteration-0 syndrome."""
+    """NB pool: per-frame bit-level AWGN for the all-zero codeword
+    (all-+1 BPSK bits), PRE-PREPPED through the decoder's front-end to
+    ``[F, N*q]`` f32 log-prior rows (``dec.prep_raw``), plus per-frame
+    uncoded symbol errors and the iteration-0 syndrome."""
     m_bits = q.bit_length() - 1
     width = n * m_bits
     gids = base + jnp.arange(pool_frames)
@@ -1149,9 +1166,13 @@ def build_channel_pool_nb(
     noise = jax.vmap(
         lambda kk: jax.random.normal(kk, (width,), jnp.float32)
     )(keys)
-    rows = 1.0 + sigma * noise
-    if pool_dtype is not None:
-        rows = rows.astype(pool_dtype)
+    y = 1.0 + sigma * noise
+    # pool rows are PRE-PREPPED log priors (f32; see nb_qspa_stream):
+    # the symbol-prior front-end runs once per frame HERE instead of for
+    # the whole lane width at every refill boundary.  pool_dtype is
+    # ignored for NB (narrowing the log priors would change values vs a
+    # batch decode of the same channel rows).
+    rows = dec.prep_raw(y)
     ych = dec.prep(rows)
     d0 = dec.d_of(ych)  # [N, F] symbols
     unc = jnp.sum(d0 != 0, axis=0, dtype=jnp.int32)
@@ -1172,7 +1193,6 @@ def simulate_stream_nb(
     avg_iters_hint: float = 6.0,
     seed: int = 0,
     storage_dtype=None,
-    pool_dtype=None,
     verbose: bool = False,
     max_calls: int = 100000,
     pool_bytes: Optional[int] = None,
@@ -1181,7 +1201,10 @@ def simulate_stream_nb(
 
     Same statistics semantics as :func:`.montecarlo_nb.simulate_nb` (bit
     errors drive the stop rule; word errors count frames with any symbol
-    error) without the early-termination straggler tax.
+    error) without the early-termination straggler tax.  Pool rows are
+    pre-prepped f32 log priors (see :func:`nb_qspa_stream`) — there is
+    no pool_dtype knob here (narrowing them would change values vs a
+    batch decode of the same channel rows).
     """
     from ..channel.awgn import snr_to_n0
     from .montecarlo_nb import NBMCStats
@@ -1193,30 +1216,29 @@ def simulate_stream_nb(
     n0 = float(snr_to_n0(snr_db, rate))
     sigma = float(np.sqrt(n0 / 2.0))
     root = jax.random.key(seed)
-    width = code.n * m_bits
+    # pool rows are PRE-PREPPED f32 log priors, width N*q (round 5 —
+    # pool_dtype is ignored for NB, see build_channel_pool_nb)
+    width = code.n * q
     default_rounds = 32
     if pool_frames is None:
         rounds_per_call, pool_frames = pool_policy(
             lanes, refill_every, rounds_per_call, avg_iters_hint,
-            width * jnp.dtype(pool_dtype or jnp.float32).itemsize,
-            pool_bytes, default_rounds=default_rounds,
+            width * 4, pool_bytes, default_rounds=default_rounds,
         )
     elif rounds_per_call is None:
         rounds_per_call = default_rounds
 
     dec = nb_qspa_stream(code, n0, q, storage_dtype)
-    state = stream_init(
-        dec, lanes, width, pool_dtype or jnp.float32
-    )
+    state = stream_init(dec, lanes, width, jnp.float32)
     call = make_stream_call(
         dec, code.n, num_iterations, rounds_per_call, refill_every,
-        max_weight=width,
+        max_weight=code.n * m_bits,
     )
 
     @jax.jit
     def pool_fn(base_, root_):
         return build_channel_pool_nb(
-            dec, root_, base_, pool_frames, code.n, q, sigma, pool_dtype
+            dec, root_, base_, pool_frames, code.n, q, sigma
         )
 
     stats = NBMCStats(n=code.n, q=q)

@@ -869,19 +869,19 @@ def main(argv: Optional[List[str]] = None) -> int:
         nb_bytes = (
             4 * e_nb * q_nb * 2 + 2 * e_nb * 4 + 2 * nbc.n * q_nb * 4
         )
-        width = nbc.n * m_bits
+        # pool rows are PRE-PREPPED f32 log priors (round 5), width N*q
+        width = nbc.n * q_nb
         sdec = nb_qspa_stream(nbc, n0r, q_nb, storage_dtype=jnp.float16)
         F = lanes + int(lanes * rounds_ / avg_hint)
         root = jax.random.key(0)
-        state = stream_init(sdec, lanes, width, jnp.float16)
+        state = stream_init(sdec, lanes, width, jnp.float32)
         callf = make_stream_call(sdec, nbc.n, T_, rounds_, 1,
-                                 max_weight=width)
+                                 max_weight=nbc.n * m_bits)
 
         @jax.jit
         def pool_fn(base_):
             return build_channel_pool_nb(
                 sdec, root, base_, F, nbc.n, q_nb, sigr,
-                pool_dtype=jnp.float16,
             )
 
         base = 0

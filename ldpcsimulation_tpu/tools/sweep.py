@@ -691,7 +691,6 @@ def main(argv: Optional[List[str]] = None) -> int:
                     storage_dtype=(
                         jnp.float16 if args.msg_dtype == "f16" else None
                     ),
-                    pool_dtype=jnp.float16,
                     verbose=args.verbose,
                 )
             else:

@@ -414,8 +414,17 @@ def test_nb_stream_matches_batch():
     rows, unc, sat0 = build_channel_pool_nb(
         dec, root, 0, F, code.n, q, sigma
     )
-    # batch truth on the identical rows
-    y = np.asarray(rows, np.float32).reshape(F, code.n, m_bits)
+    assert rows.shape == (F, code.n * q)  # PRE-PREPPED log-prior rows
+    # batch truth on the identical channel realization: regenerate the
+    # bit-level samples by the same (root, gid) recipe the pool builder
+    # used — decode_nb_qspa's own front-end then sees identical values
+    # (the pool stores exactly log_of(symbol_priors(y)) at f32)
+    gids = jnp.arange(F)
+    keys = jax.vmap(jax.random.fold_in, in_axes=(None, 0))(root, gids)
+    y = jax.vmap(
+        lambda kk: jax.random.normal(kk, (code.n * m_bits,), jnp.float32)
+    )(keys)
+    y = (1.0 + sigma * y).reshape(F, code.n, m_bits)
     pri = symbol_priors(jnp.asarray(y), n0, q)
     res = decode_nb_qspa(
         code, pri, T_nb, early_termination=True,
@@ -430,7 +439,7 @@ def test_nb_stream_matches_batch():
         stream_init,
     )
 
-    state = stream_init(dec, 24, code.n * m_bits)
+    state = stream_init(dec, 24, code.n * q)
     call = make_stream_call(
         dec, code.n, T_nb, 50, 1, record=True, rec_cap=F + 24,
         max_weight=code.n * m_bits,
