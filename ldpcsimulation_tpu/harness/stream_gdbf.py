@@ -644,7 +644,8 @@ def simulate_stream_gdbf(
     ``mesh``: shard lanes/pool over the mesh's ``data_axis`` — the
     streaming replacement for the reference's per-process NGDBF sweep
     fan-out (see :func:`.stream.simulate_stream` for the window/gid
-    semantics).
+    semantics).  ``pool_bytes``: channel-pool byte budget
+    (:func:`.stream.pool_policy`; default 1 GiB).
     """
     from ..channel.awgn import snr_to_sigma
 

@@ -470,7 +470,8 @@ def simulate_stream_ngdbfhw(
     (least-errors/least-iterations across phases, exit-satisfied flag;
     all-zero codewords).  The reference runs a FIXED frame count
     (``NGDBFhw.cpp:193``) — pass ``StopRule.fixed_frames`` for that
-    semantic, as tools/sweep.py does.
+    semantic, as tools/sweep.py does.  ``pool_bytes``: channel-pool byte
+    budget (:func:`.stream.pool_policy`; default 1 GiB).
     """
     from ..channel.awgn import snr_to_sigma
 
