@@ -783,6 +783,7 @@ def test_sweep_stream_cli(tmp_path):
             dec, "--code", "qc_1008_504", "--snr", "2.0", "-T", "8",
             "--log", log, "--batch", "64", "--early-termination",
             "--stream", "--min-errors", "50", "--min-word-errors", "2",
+            "--pool-bytes", str(2 * 1008 * 4 * 200),
             *extra,
         ])
         row = open(log).read().strip()
