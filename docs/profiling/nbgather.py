@@ -18,9 +18,13 @@ repetitions, data-chained through an index shift so the result cache
 cannot serve repeats (CLAUDE.md: block_until_ready does not sync the
 axon tunnel — every timing fetches a scalar).
 """
+import os
 import statistics
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))))
 
 import jax
 import jax.numpy as jnp
